@@ -1,0 +1,22 @@
+"""cassnat_asr_public_tpu — a TPU-native (JAX/XLA/Pallas/pjit) end-to-end speech
+recognition framework with the capabilities of balaji1312/cassnat_asr_public.
+
+Built from scratch for TPU: SPMD data/model parallelism over `jax.sharding.Mesh`,
+functional train/decode steps under `jax.jit`, `lax.scan`-based CTC dynamic
+programs, and Pallas kernels for the hot ops.
+
+Layering (bottom-up):
+  ops/       pure jittable array ops: CTC loss / Viterbi alignment / trigger
+             masks / prefix scoring, log-mel frontend, SpecAugment, edit distance
+  kernels/   Pallas TPU kernels (fused attention, CTC scans)
+  nn/        flax.linen modules (attention, conformer, embeddings, blocks)
+  models/    model families: AST transformer/conformer, CTC, CASS-NAT, LM,
+             LMNAT*, HubertNAT, wav2vec2 SSL
+  parallel/  mesh + sharding helpers, distributed init, collective metrics
+  data/      manifests (Kaldi scp/ark compatible), tokenizer, vocab, batching
+  utils/     schedules, checkpointing, metrics, config
+  tasks/     training / decoding drivers per model family
+  bin/       CLI entry points (train_asr, decode_asr, lm_train, train_ssl)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,374 @@
+"""Primitive flax.linen modules.
+
+TPU-native re-designs of the reference primitives
+(reference: src/models/modules/*.py). Functional, statically shaped,
+bfloat16-friendly: every matmul/conv takes a `compute_dtype` so the MXU runs
+in bf16 while params and softmax/layernorm statistics stay in f32.
+
+Parity notes (for checkpoint-level comparison against the reference):
+ - LayerNorm uses the *sample* std with Bessel correction and eps added to the
+   std (not the variance), matching reference src/models/modules/norm.py:6-18.
+ - ConvEmbedding is 2x Conv(3x3, stride 2, pad 1) + ReLU, then a linear over
+   flattened (channel, freq), then x*sqrt(d) + positional encoding; the frame
+   mask is subsampled [::2][::2] (reference: src/models/modules/embedding.py:89-124).
+ - Relative attention is Transformer-XL style with pos_bias_u/v and the
+   pad-reshape rel-shift (reference: src/models/modules/attention.py:68-147).
+"""
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+MASK_MIN = -1e9  # large-negative for masked attention scores
+
+
+def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """Vaswani-style sinusoidal table (max_len, d_model), host-computed once.
+
+    (reference: src/models/modules/embedding.py:19-26)
+    """
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                 * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    """Add absolute sinusoidal PE, then dropout."""
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model))
+        x = x + pe[None, :x.shape[1], :].astype(x.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class RelativePositionalEncoding(nn.Module):
+    """Clamped-window relative PE: returns (dropout(x), pos_embed (2T-1, d)).
+
+    pos index k (0..2T-2) encodes relative offset k-(T-1), clamped to
+    +-max_relative_len (reference: src/models/modules/embedding.py:33-60).
+    """
+    d_model: int
+    dropout: float = 0.1
+    max_relative_len: int = 10
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        t = x.shape[1]
+        table = jnp.asarray(
+            sinusoidal_position_encoding(2 * self.max_relative_len + 1, self.d_model))
+        rel = jnp.arange(-(t - 1), t)
+        idx = jnp.clip(rel, -self.max_relative_len, self.max_relative_len) \
+            + self.max_relative_len
+        pos_embed = table[idx].astype(x.dtype)
+        drop = nn.Dropout(self.dropout)
+        return (drop(x, deterministic=deterministic),
+                drop(pos_embed, deterministic=deterministic))
+
+
+class TextEmbedding(nn.Module):
+    """Token embedding scaled by sqrt(d_model) (reference: embedding.py:71-78)."""
+    vocab_size: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, tokens):
+        emb = nn.Embed(self.vocab_size, self.d_model,
+                       embedding_init=nn.initializers.xavier_uniform())(tokens)
+        return emb * math.sqrt(self.d_model)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with reference numerics: (x-mean)/(std+eps), Bessel std.
+
+    (reference: src/models/modules/norm.py:6-18)
+    """
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True) * (d / max(d - 1, 1))
+        std = jnp.sqrt(var)
+        out = scale * (xf - mean) / (std + self.eps) + bias
+        return out.astype(x.dtype)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """d_model -> d_ff -> d_model with activation+dropout in the middle.
+
+    (reference: src/models/modules/positionff.py:6-16)
+    """
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+    activation: Callable = nn.relu
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.d_ff, dtype=self.compute_dtype,
+                     kernel_init=nn.initializers.xavier_uniform())(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, dtype=self.compute_dtype,
+                        kernel_init=nn.initializers.xavier_uniform())(h)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _split_heads(x, h):
+    b, t, d = x.shape
+    return x.reshape(b, t, h, d // h)
+
+
+def _merge_heads(x):
+    b, h, t, dk = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+
+
+def dot_attention_weights(q, k, mask, scale, dropout_mod=None,
+                          deterministic=True):
+    """softmax(QK^T * scale) with boolean mask (True = attend).
+
+    q: (B, H, Tq, Dk), k: (B, H, Tk, Dk), mask broadcastable to (B, H, Tq, Tk).
+    Softmax in f32 for stability regardless of compute dtype.
+    """
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, MASK_MIN)
+    w = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        # Fully-masked query rows produce a uniform softmax; zero them like the
+        # reference does for relative attention (attention.py:138).
+        w = jnp.where(mask, w, 0.0)
+    if dropout_mod is not None:
+        w = dropout_mod(w, deterministic=deterministic)
+    return w
+
+
+class MultiHeadedAttention(nn.Module):
+    """Standard scaled-dot MHA (reference: attention.py:26-66)."""
+    n_head: int
+    d_model: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, pos_embed=None,
+                 deterministic: bool = True):
+        del pos_embed
+        h, dk = self.n_head, self.d_model // self.n_head
+        dense = lambda name: nn.Dense(
+            self.d_model, dtype=self.compute_dtype, name=name,
+            kernel_init=nn.initializers.xavier_uniform())
+        q = _split_heads(dense("q")(query), h).transpose(0, 2, 1, 3)
+        k = _split_heads(dense("k")(key), h).transpose(0, 2, 1, 3)
+        v = _split_heads(dense("v")(value), h).transpose(0, 2, 1, 3)
+        if mask is not None:
+            mask = mask[:, None, :, :]  # same mask on every head
+        w = dot_attention_weights(q, k, mask, 1.0 / math.sqrt(dk),
+                                  nn.Dropout(self.dropout), deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return dense("out")(_merge_heads(out).astype(self.compute_dtype))
+
+
+def rel_shift(scores_bd):
+    """Transformer-XL relative shift.
+
+    scores_bd: (B, H, T, 2T-1) where column j scores relative offset
+    j-(T-1). Returns (B, H, T, T) where column j scores key position j.
+    Implemented with the pad-reshape trick
+    (reference: src/models/modules/attention.py:128-132).
+    """
+    b, h, t, l = scores_bd.shape
+    pad = jnp.zeros((b, h, t, 1), scores_bd.dtype)
+    padded = jnp.concatenate([pad, scores_bd], axis=-1)  # (B,H,T,2T)
+    padded = padded.reshape(b, h, l + 1, t)
+    return padded[:, :, 1:].reshape(b, h, t, l)[:, :, :, :t]
+
+
+class RelMultiHeadedAttention(nn.Module):
+    """Transformer-XL relative-position MHA with pos_bias_u/v.
+
+    (reference: src/models/modules/attention.py:68-147)
+    """
+    n_head: int
+    d_model: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, pos_embed=None,
+                 deterministic: bool = True):
+        assert pos_embed is not None, "relative attention needs pos_embed"
+        h, dk = self.n_head, self.d_model // self.n_head
+        dense = lambda name, bias=True: nn.Dense(
+            self.d_model, use_bias=bias, dtype=self.compute_dtype, name=name,
+            kernel_init=nn.initializers.xavier_uniform())
+        q = _split_heads(dense("q")(query), h)          # (B, Tq, H, Dk)
+        k = _split_heads(dense("k")(key), h)            # (B, Tk, H, Dk)
+        v = _split_heads(dense("v")(value), h)
+        p = dense("pos", bias=False)(pos_embed)         # (2T-1, d)
+        p = p.reshape(1, -1, h, dk)
+
+        bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
+        bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
+
+        q_u = (q + bias_u.astype(q.dtype)).transpose(0, 2, 1, 3)  # (B,H,Tq,Dk)
+        q_v = (q + bias_v.astype(q.dtype)).transpose(0, 2, 1, 3)
+        scores_ac = jnp.einsum("bhqd,bkhd->bhqk", q_u, k,
+                               preferred_element_type=jnp.float32)
+        scores_bd = jnp.einsum("bhqd,bkhd->bhqk", q_v, p,
+                               preferred_element_type=jnp.float32)
+        scores = (scores_ac + rel_shift(scores_bd)) / math.sqrt(dk)
+
+        if mask is not None:
+            m = mask[:, None, :, :]
+            scores = jnp.where(m, scores, MASK_MIN)
+        w = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            w = jnp.where(m, w, 0.0)
+        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bhqd", w.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return dense("out")(_merge_heads(out).astype(self.compute_dtype))
+
+
+class ConvModule(nn.Module):
+    """Conformer conv block: pointwise->GLU->depthwise->GroupNorm->Swish->pointwise.
+
+    (reference: src/models/modules/conformer_related.py:15-44)
+    """
+    channels: int
+    kernel_size: int
+    activation: Callable = swish
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, C)
+        h = nn.Conv(2 * self.channels, (1,), dtype=self.compute_dtype,
+                    name="pointwise1")(x)
+        h = jax.nn.glu(h, axis=-1)
+        h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                    feature_group_count=self.channels,
+                    dtype=self.compute_dtype, name="depthwise")(h)
+        # GroupNorm(1, C): normalize over (T, C) jointly per sample.
+        h = nn.GroupNorm(num_groups=1, name="norm")(h)
+        h = self.activation(h)
+        return nn.Conv(self.channels, (1,), dtype=self.compute_dtype,
+                       name="pointwise2")(h)
+
+
+class ConvEmbedding(nn.Module):
+    """2-layer strided Conv2d frontend: 4x time (and freq) downsample.
+
+    Input (B, T, F) features -> (B, T//4, d_model) embeddings + subsampled
+    mask; output is scaled by sqrt(d) and passed through `pos_enc`
+    (reference: src/models/modules/embedding.py:89-124). `causal` uses
+    asymmetric time padding so no future frames leak (embedding.py:96-100).
+    """
+    input_size: int
+    d_model: int
+    dropout: float = 0.1
+    pos_type: str = "absolute"  # "absolute" | "relative"
+    max_relative_len: int = 10
+    causal: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        # x: (B, T, F); mask: (B, T) bool
+        h = x[..., None].astype(self.compute_dtype)  # (B, T, F, 1) NHWC
+        if self.causal:
+            # kernel (2,3), stride (2,2), time pad 1 before only, freq pad 1.
+            pad = [(1, 0), (1, 1)]
+            h = nn.Conv(self.d_model, (2, 3), strides=(2, 2), padding=pad,
+                        dtype=self.compute_dtype, name="conv1")(h)
+            h = nn.relu(h)
+            h = nn.Conv(self.d_model, (2, 3), strides=(2, 2), padding=pad,
+                        dtype=self.compute_dtype, name="conv2")(h)
+            h = nn.relu(h)
+        else:
+            h = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding=1,
+                        dtype=self.compute_dtype, name="conv1")(h)
+            h = nn.relu(h)
+            h = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding=1,
+                        dtype=self.compute_dtype, name="conv2")(h)
+            h = nn.relu(h)
+        b, t, f, c = h.shape
+        h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+        h = nn.Dense(self.d_model, dtype=self.compute_dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="linear_out")(h)
+        h = h * math.sqrt(self.d_model)
+
+        new_mask = mask[:, ::2][:, ::2]
+        if self.pos_type == "relative":
+            h, pos_embed = RelativePositionalEncoding(
+                self.d_model, self.dropout, self.max_relative_len,
+                name="pos_enc")(h, deterministic=deterministic)
+            return (h, pos_embed), new_mask
+        h = PositionalEncoding(self.d_model, self.dropout,
+                               name="pos_enc")(h, deterministic=deterministic)
+        return h, new_mask
+
+
+class Generator(nn.Module):
+    """Linear + log-softmax head, optional pre-norm.
+
+    (reference: src/models/transformer.py:40-52)
+    """
+    vocab_size: int
+    add_norm: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temperature: float = 1.0):
+        if self.add_norm:
+            x = LayerNorm(name="norm")(x)
+        logits = nn.Dense(self.vocab_size, dtype=self.compute_dtype,
+                          kernel_init=nn.initializers.xavier_uniform(),
+                          name="proj")(x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+
+    def logits(self, x):
+        if self.add_norm:
+            x = LayerNorm(name="norm")(x)
+        return nn.Dense(self.vocab_size, dtype=self.compute_dtype,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="proj")(x)
+
+
+class StatsPooling(nn.Module):
+    """Masked mean+std pooling over time (reference: modules/utils.py:34-49)."""
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        t = x.shape[1]
+        valid = (jnp.arange(t)[None, :] < lengths[:, None])[..., None]
+        n = jnp.maximum(lengths, 1).astype(x.dtype)[:, None]
+        mean = jnp.where(valid, x, 0).sum(1) / n
+        var = jnp.where(valid, (x - mean[:, None, :]) ** 2, 0).sum(1) \
+            / jnp.maximum(n - 1, 1)
+        return jnp.concatenate([mean, jnp.sqrt(var)], axis=-1)

@@ -1,0 +1,24 @@
+"""Test harness: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated without TPU hardware the standard JAX
+way: XLA_FLAGS=--xla_force_host_platform_device_count=8 (SURVEY.md §4).
+Env vars must be set before jax is imported by any test module.
+"""
+
+import os
+
+# The image pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must run on
+# local CPU devices, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
