@@ -104,7 +104,9 @@ class LayerNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean = xf.mean(-1, keepdims=True)
         var = xf.var(-1, keepdims=True) * (d / max(d - 1, 1))
-        std = jnp.sqrt(var)
+        # +1e-12 inside the sqrt keeps d(sqrt)/dvar finite on exactly-zero
+        # rows (fully-masked trigger slots) without changing the numerics.
+        std = jnp.sqrt(var + 1e-12)
         out = scale * (xf - mean) / (std + self.eps) + bias
         return out.astype(x.dtype)
 
