@@ -1,0 +1,138 @@
+"""ArtTask: AST (transformer/conformer) training + decoding driver.
+
+(reference: src/tasks/art_task.py — hybrid CTC+attention epoch loop with
+greedy-WER metrics, decode dispatch ctc_only/ctc_att/ctc_correct.)
+"""
+
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cassnat_asr_public_tpu.models import (
+    make_conformer,
+    make_lm,
+    make_transformer,
+)
+from cassnat_asr_public_tpu.tasks.base import BaseTask
+from cassnat_asr_public_tpu.utils import metrics as M
+from cassnat_asr_public_tpu.utils import checkpoint as ckpt
+from cassnat_asr_public_tpu.utils.decoding import (
+    ar_beam_decode_jit,
+    ctc_greedy_decode_jit,
+)
+
+
+class ArtTask(BaseTask):
+    model_name = "art"
+
+    def set_model(self, args):
+        input_size = args.input_size
+        if getattr(args, "model_type", "transformer") == "conformer" or \
+                getattr(args, "use_conv_enc", False):
+            self.model = make_conformer(input_size, args)
+        else:
+            self.model = make_transformer(input_size, args)
+        # init params on a fixed tiny shape
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        feats = jnp.zeros((2, 16, input_size))
+        mask = jnp.ones((2, 16), bool)
+        tgt = jnp.ones((2, 4), jnp.int32)
+        lbl = jnp.ones((2, 4), jnp.int32)
+        ls = jnp.ones((2,), jnp.int32)
+        params = self.model.init({"params": rng, "dropout": rng},
+                                 feats, mask, tgt, lbl, ls,
+                                 deterministic=False)
+        from cassnat_asr_public_tpu.tasks.base import TrainState
+        self.state = TrainState(params, None)
+
+    def set_optimizer(self, args):
+        super().set_optimizer(args)
+        self.state.opt_state = self.optimizer.init(self.state.params)
+
+    def loss_fn(self, params, batch, rngs, train: bool):
+        labels = batch["labels"]
+        tgt, tgt_label = labels[:, :-1], labels[:, 1:]
+        return self.model.apply(
+            params, batch["feats"], batch["src_mask"], tgt, tgt_label,
+            batch["label_sizes"], deterministic=not train,
+            rngs=rngs if train else {})
+
+    def make_meters(self):
+        m = super().make_meters()
+        m.update(ctc_loss=M.AverageMeter("CtcLoss", ":.4e"),
+                 att_loss=M.AverageMeter("AttLoss", ":.4e"),
+                 ctc_wer=M.AverageMeter("CtcWer", ":.4f"),
+                 att_wer=M.AverageMeter("AttWer", ":.4f"))
+        return m
+
+    def metric_update(self, out, batch, meters):
+        tgt_label = batch["labels"][:, 1:]
+        tokens = int((tgt_label != 0).sum())
+        meters["loss"].update(float(out["loss"]), tokens)
+        meters["ctc_loss"].update(float(out["ctc_loss"]), tokens)
+        meters["att_loss"].update(float(out["att_loss"]), tokens)
+        feat_sizes = np.asarray(out["feat_sizes"])
+        errs, total = M.ctc_greedy_wer(np.asarray(out["ctc_out"]), tgt_label,
+                                       feat_sizes)
+        meters["ctc_wer"].update(errs / total, total)
+        errs, total = M.att_greedy_wer(np.asarray(out["att_out"]), tgt_label)
+        meters["att_wer"].update(errs / total, total)
+
+    def epoch_metric(self, valid_meters):
+        return valid_meters["att_wer"].avg
+
+    # ---- decoding (reference: art_task.py:233-277) ----
+    def load_lm_model(self, args):
+        if not getattr(args, "lm_config", None) and not getattr(
+                args, "rnnlm", None):
+            return
+        from cassnat_asr_public_tpu.utils.config import merge_configs
+        lm_args = merge_configs(None, args.lm_config)
+        lm_args.vocab_size = args.vocab_size
+        self.lm_model = make_lm(lm_args)
+        tokens = jnp.ones((1, 4), jnp.int32)
+        self.lm_params = self.lm_model.init(jax.random.PRNGKey(0), tokens)
+        lm_path = getattr(args, "rnnlm", None)
+        if lm_path and os.path.exists(lm_path):
+            state = ckpt.load_checkpoint(lm_path)
+            self.lm_params = ckpt.restore_params(self.lm_params,
+                                                 state["params"])
+
+    def decode(self, args):
+        decode_type = getattr(args, "decode_type", "ctc_att")
+        results = {}
+        t0 = time.time()
+        lm_apply = None
+        if self.lm_model is not None and getattr(args, "lm_weight", 0) > 0:
+            lm_apply = lambda p, ys: self.lm_model.apply(p, ys)
+        for batch in self.test_loader:
+            feats = jnp.asarray(batch["feats"])
+            mask = jnp.asarray(batch["src_mask"])
+            if decode_type == "ctc_only":
+                out = ctc_greedy_decode_jit(self.model, self.state.params,
+                                            feats, mask)
+            else:
+                max_steps = min(
+                    int(getattr(args, "max_decode_ratio", 0)
+                        * feats.shape[1] / 4) or feats.shape[1] // 4,
+                    feats.shape[1] // 4 + 8)
+                out = ar_beam_decode_jit(
+                    self.model, self.state.params, feats, mask,
+                    beam_width=getattr(args, "beam_width", 20),
+                    ctc_beam=getattr(args, "ctc_beam", 30),
+                    ctc_weight=getattr(args, "ctc_weight", 0.4),
+                    lm_weight=getattr(args, "lm_weight", 0.0),
+                    length_penalty=getattr(args, "length_penalty", 0.0) or 0.0,
+                    max_steps=max_steps,
+                    lm_apply=lm_apply, lm_params=self.lm_params,
+                    temperature=getattr(args, "T", 1.0))
+            toks = np.asarray(out["tokens"])
+            for i, utt in enumerate(batch["utts"]):
+                hyp = [int(t) for t in toks[i] if t > 2]
+                results[utt] = self.vocab.decode(hyp)
+        elapsed = time.time() - t0
+        return results, elapsed

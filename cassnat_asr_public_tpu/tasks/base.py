@@ -1,0 +1,280 @@
+"""BaseTask: model/optimizer/dataloader assembly + the jitted SPMD train step.
+
+TPU re-design of the reference task layer (reference: src/tasks/base_task.py):
+  - checkpoint-or-pretrained loading with resume of params/opt_state/epoch
+    (base_task.py:16-43)
+  - parameter counting (base_task.py:56-70)
+  - device placement = mesh sharding instead of .cuda()+DDP (base_task.py:72-83)
+  - dataloader construction with dataset-type dispatch (base_task.py:85-146)
+
+The train step is a donated, jitted function over a ('data','model') mesh:
+batch sharded on 'data', params replicated (or model-sharded), gradient
+all-reduce inserted by XLA. Gradient accumulation uses optax.MultiSteps
+(reference: accum_grad, art_task.py:211-215).
+"""
+
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cassnat_asr_public_tpu.data.datasets import (
+    DynamicDataset,
+    SpeechDataLoader,
+    SpeechDataset,
+)
+from cassnat_asr_public_tpu.data.vocab import Vocab
+from cassnat_asr_public_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from cassnat_asr_public_tpu.utils import checkpoint as ckpt
+from cassnat_asr_public_tpu.utils import metrics as M
+from cassnat_asr_public_tpu.utils.schedules import get_optim
+
+
+class TrainState:
+    """Minimal mutable train-state holder (params/opt_state/step live on
+    device with mesh shardings)."""
+
+    def __init__(self, params, opt_state, step=0, epoch=0):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+        self.epoch = epoch
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params))
+
+
+class BaseTask:
+    model_name = "base"
+
+    def __init__(self, mode: str, args):
+        self.mode = mode
+        self.args = args
+        self.rank = jax.process_index()
+        self.world = jax.process_count()
+        self.mesh = make_mesh(model=getattr(args, "model_parallel", 1))
+        self.vocab = Vocab(args.vocab_file) if getattr(
+            args, "vocab_file", None) else None
+        self.lm_model = None
+        self.lm_params = None
+        self.start_epoch = 0
+
+        self.set_model(args)
+        if mode == "train":
+            self.set_optimizer(args)
+            self.set_dataloader(args)
+            self.load_model(args)
+        else:
+            self.set_test_dataloader(args)
+            self.load_test_model(args)
+
+    # ---- to be provided by subclasses ----
+    def set_model(self, args):
+        raise NotImplementedError
+
+    def loss_fn(self, params, batch, rngs, train: bool):
+        raise NotImplementedError
+
+    # ---- model/optimizer assembly ----
+    def init_params(self, args):
+        raise NotImplementedError
+
+    def set_optimizer(self, args):
+        self.optimizer = get_optim(args.optim_type, args)
+        accum = getattr(args, "accum_grad", 1)
+        if accum > 1:
+            self.optimizer = optax.MultiSteps(self.optimizer, accum)
+
+    def model_stats(self):
+        n = count_params(self.state.params)
+        if self.rank == 0:
+            print(f"Model has {n/1e6:.2f}M parameters "
+                  f"on mesh {dict(self.mesh.shape)}", flush=True)
+        return n
+
+    # ---- checkpoint handling (reference: base_task.py:16-54) ----
+    def load_model(self, args):
+        last = os.path.join(args.exp_dir, "model.last.ckpt")
+        if os.path.exists(last):
+            state = ckpt.load_checkpoint(last)
+            self.state.params = ckpt.restore_params(self.state.params,
+                                                    state["params"])
+            if "opt_state" in state:
+                self.state.opt_state = ckpt.restore_params(
+                    self.state.opt_state, state["opt_state"])
+            self.start_epoch = int(state.get("epoch", -1)) + 1
+            self.state.step = int(state.get("step", 0))
+            if self.rank == 0:
+                print(f"Resumed from {last} at epoch {self.start_epoch}",
+                      flush=True)
+        elif getattr(args, "resume_model", ""):
+            self.load_pretrained_model(args)
+        self.model_stats()
+
+    def load_pretrained_model(self, args):
+        state = ckpt.load_checkpoint(args.resume_model)
+        self.state.params = ckpt.restore_params(self.state.params,
+                                                state["params"])
+        if self.rank == 0:
+            print(f"Loaded pretrained weights from {args.resume_model}",
+                  flush=True)
+
+    def load_test_model(self, args):
+        path = getattr(args, "resume_model", "")
+        if path and os.path.exists(path):
+            state = ckpt.load_checkpoint(path)
+            self.state.params = ckpt.restore_params(self.state.params,
+                                                    state["params"])
+            if self.rank == 0:
+                print(f"Loaded test model {path}", flush=True)
+
+    def save_checkpoint(self, name: str, epoch: int):
+        if self.rank != 0:
+            return
+        path = os.path.join(self.args.exp_dir, name)
+        ckpt.save_checkpoint(path, self.state.params, self.state.opt_state,
+                             epoch=epoch, step=self.state.step)
+
+    # ---- data (reference: base_task.py:85-146) ----
+    def set_dataloader(self, args):
+        ds_type = getattr(args, "dataset_type", "DynamicDataset")
+        cls = {"SpeechDataset": SpeechDataset,
+               "DynamicDataset": DynamicDataset}[ds_type]
+        train_ds = cls(self.vocab, args.train_paths, args)
+        dev_args = args
+        dev_ds = cls(self.vocab, args.dev_paths, dev_args)
+        dev_ds.use_specaug = False
+        if getattr(args, "use_cmvn", False) and getattr(args, "global_cmvn", None):
+            train_ds.load_cmvn(args.global_cmvn)
+            dev_ds.load_cmvn(args.global_cmvn)
+        bs = 1 if ds_type == "DynamicDataset" else args.batch_size
+        self.train_loader = SpeechDataLoader(
+            train_ds, bs, padding_idx=args.padding_idx, shuffle=True,
+            shard=(self.rank, self.world), seed=getattr(args, "seed", 0))
+        self.valid_loader = SpeechDataLoader(
+            dev_ds, bs, padding_idx=args.padding_idx, shuffle=False,
+            shard=(self.rank, self.world), augment=False)
+
+    def set_test_dataloader(self, args):
+        test_ds = SpeechDataset(self.vocab, args.test_paths, args)
+        test_ds.use_specaug = False
+        if getattr(args, "use_cmvn", False) and getattr(args, "global_cmvn", None):
+            test_ds.load_cmvn(args.global_cmvn)
+        self.test_loader = SpeechDataLoader(
+            test_ds, getattr(args, "test_batch_size", 8),
+            padding_idx=args.padding_idx, shuffle=False, augment=False)
+
+    # ---- jitted train/eval steps ----
+    def build_steps(self):
+        optimizer = self.optimizer
+        loss_fn = self.loss_fn
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            def lf(p):
+                out = loss_fn(p, batch, {"dropout": rng, "sample": rng},
+                              train=True)
+                return out["loss"], out
+
+            (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, out
+
+        @jax.jit
+        def eval_step(params, batch):
+            return loss_fn(params, batch, {}, train=False)
+
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    def metric_update(self, out: Dict, batch: Dict, meters: Dict):
+        """Default loss-meter updates; subclasses add WER meters."""
+        tokens = int((batch["labels"][:, 1:] != 0).sum())
+        meters["loss"].update(float(out["loss"]), tokens)
+
+    def run_one_epoch(self, epoch, args, is_train=True):
+        loader = self.train_loader if is_train else self.valid_loader
+        meters = self.make_meters()
+        n_batches = len(loader)
+        accum = getattr(args, "accum_grad", 1)
+        num_updates = math.ceil(n_batches / accum) if is_train else n_batches
+        progress = M.ProgressMeter(num_updates, *meters.values(),
+                                   prefix=f"Epoch: [{epoch}]")
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0) * 1000 + epoch)
+        t_end = time.time()
+        for i, batch in enumerate(loader):
+            batch_dev = self.prepare_batch(batch)
+            if is_train:
+                rng, sub = jax.random.split(rng)
+                self.state.params, self.state.opt_state, out = \
+                    self.train_step(self.state.params, self.state.opt_state,
+                                    batch_dev, sub)
+                self.state.step += 1
+            else:
+                out = self.eval_step(self.state.params, batch_dev)
+            self.metric_update(out, batch, meters)
+            meters["time"].update(time.time() - t_end)
+            t_end = time.time()
+            if i % getattr(args, "print_freq", 100) == 0 and self.rank == 0:
+                progress.print(i)
+        return meters
+
+    def make_meters(self):
+        return {
+            "time": M.AverageMeter("Time", ":6.3f"),
+            "loss": M.AverageMeter("Loss", ":.4e"),
+        }
+
+    def prepare_batch(self, batch) -> Dict:
+        """numpy batch -> device arrays with batch sharding."""
+        return shard_batch({k: v for k, v in batch.items() if k != "utts"},
+                           self.mesh)
+
+    # ---- epoch loop (reference: art_task.py:95-152) ----
+    def run(self, args):
+        best_metric = float("inf")
+        best_epoch = 0
+        patience = getattr(args, "end_patience", 10)
+        self.build_steps()
+        for epoch in range(self.start_epoch, args.epochs):
+            self.train_loader.set_epoch(epoch)
+            self.on_epoch_start(epoch, args)
+            train_meters = self.run_one_epoch(epoch, args, is_train=True)
+            valid_meters = self.run_one_epoch(epoch, args, is_train=False)
+            metric = self.epoch_metric(valid_meters)
+            if self.rank == 0:
+                tr = ", ".join(f"Train {k}: {m.avg:.4f}"
+                               for k, m in train_meters.items() if k != "time")
+                va = ", ".join(f"Valid {k}: {m.avg:.4f}"
+                               for k, m in valid_meters.items() if k != "time")
+                print(f"Epoch {epoch} done, {tr}, {va}", flush=True)
+            self.save_checkpoint("model.last.ckpt", epoch)
+            if epoch > getattr(args, "start_saving_epoch", 0):
+                self.save_checkpoint(f"model.{epoch}.ckpt", epoch)
+            if metric < best_metric:
+                best_metric, best_epoch = metric, epoch
+                self.save_checkpoint("best_model.ckpt", epoch)
+            if epoch + 1 - best_epoch >= patience:
+                if self.rank == 0:
+                    print("Early stop: no validation improvement", flush=True)
+                break
+
+    def on_epoch_start(self, epoch, args):
+        pass
+
+    def epoch_metric(self, valid_meters) -> float:
+        return valid_meters["loss"].avg

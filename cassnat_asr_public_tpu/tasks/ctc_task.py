@@ -1,0 +1,87 @@
+"""CTCTask: CTC-only training + greedy/beam decoding.
+
+(reference: src/tasks/ctc_task.py)
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cassnat_asr_public_tpu.models import make_ctc_model
+from cassnat_asr_public_tpu.tasks.base import BaseTask, TrainState
+from cassnat_asr_public_tpu.utils import metrics as M
+from cassnat_asr_public_tpu.utils.decoding import (
+    ctc_frame_beam_decode,
+    ctc_greedy_decode_jit,
+)
+
+
+class CTCTask(BaseTask):
+    model_name = "ctc"
+
+    def set_model(self, args):
+        self.model = make_ctc_model(args.input_size, args)
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        params = self.model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((2, 16, args.input_size)), jnp.ones((2, 16), bool),
+            jnp.ones((2, 4), jnp.int32), jnp.ones((2,), jnp.int32),
+            deterministic=False)
+        self.state = TrainState(params, None)
+
+    def set_optimizer(self, args):
+        super().set_optimizer(args)
+        self.state.opt_state = self.optimizer.init(self.state.params)
+
+    def loss_fn(self, params, batch, rngs, train: bool):
+        tgt_label = batch["labels"][:, 1:]
+        return self.model.apply(
+            params, batch["feats"], batch["src_mask"], tgt_label,
+            batch["label_sizes"], deterministic=not train,
+            rngs=rngs if train else {})
+
+    def make_meters(self):
+        m = super().make_meters()
+        m.update(ctc_wer=M.AverageMeter("CtcWer", ":.4f"))
+        return m
+
+    def metric_update(self, out, batch, meters):
+        tgt_label = batch["labels"][:, 1:]
+        tokens = int((tgt_label != 0).sum())
+        meters["loss"].update(float(out["loss"]), tokens)
+        errs, total = M.ctc_greedy_wer(np.asarray(out["ctc_out"]), tgt_label,
+                                       np.asarray(out["feat_sizes"]))
+        meters["ctc_wer"].update(errs / total, total)
+
+    def epoch_metric(self, valid_meters):
+        return valid_meters["ctc_wer"].avg
+
+    def decode(self, args):
+        decode_type = getattr(args, "decode_type", "greedy")
+        results = {}
+        t0 = time.time()
+        for batch in self.test_loader:
+            feats = jnp.asarray(batch["feats"])
+            mask = jnp.asarray(batch["src_mask"])
+            if decode_type in ("greedy", "ctc_only"):
+                out = ctc_greedy_decode_jit(self.model, self.state.params,
+                                            feats, mask)
+                toks, lens = np.asarray(out["tokens"]), \
+                    np.asarray(out["lengths"])
+                hyps = [list(toks[i, :lens[i]]) for i in range(len(lens))]
+            else:  # beam
+                _, enc_mask, ctc_out = self.model.apply(
+                    self.state.params, feats, mask, method="encode_ctc")
+                feat_sizes = np.asarray(enc_mask.sum(-1))
+                hyps = ctc_frame_beam_decode(
+                    np.asarray(ctc_out), feat_sizes,
+                    beam_width=getattr(args, "ctc_beam", 10),
+                    pruning_size=getattr(args, "ctc_pruning", 10) or 10,
+                    lm_weight=getattr(args, "ctc_lm_weight", 0.0),
+                    length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
+            for i, utt in enumerate(batch["utts"]):
+                results[utt] = self.vocab.decode(
+                    [int(t) for t in hyps[i] if t > 2])
+        return results, time.time() - t0

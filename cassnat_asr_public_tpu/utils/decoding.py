@@ -1,0 +1,380 @@
+"""Batched, jit-compiled decoding drivers.
+
+TPU re-design of the reference's Python-object beam searches:
+
+  * NAT greedy / ESA decode: the entire pipeline — encoder, CTC head, sampled
+    best-path alignments (sample_num as an extra batch axis), trigger masks,
+    single NAT decoder pass, LM/AT-baseline candidate ranking, final argmax —
+    is ONE jitted function per shape bucket (reference: the multi-stage
+    Python flow in src/models/cassnat.py:420-637).
+  * AR beam search with CTC-prefix joint scoring + LM shallow fusion +
+    length penalty: a fixed-beam `lax.fori_loop` with all hypotheses
+    materialized as (B, K, L) arrays (reference: python list shuffling in
+    src/models/transformer.py:122-241).
+  * Frame-synchronous CTC beam decode (for CTC-only models) as a host-side
+    reference implementation (reference: src/utils/beam_decode.py:8-93).
+
+All functions take `model.apply`-style callables so they stay agnostic to the
+specific model family.
+"""
+
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cassnat_asr_public_tpu.ops.ctc import (
+    LOG_ZERO,
+    ctc_best_path_align,
+    ctc_greedy_collapse,
+)
+from cassnat_asr_public_tpu.ops.ctc_prefix import (
+    initial_state,
+    mask_ctc_out,
+    prefix_score_step,
+)
+
+
+# ---------------------------------------------------------------------------
+# NAT (CASS-NAT) decoding
+# ---------------------------------------------------------------------------
+
+
+def _repeat_batch(x, n):
+    """(B, ...) -> (B*n, ...) repeating each row n times contiguously."""
+    return jnp.repeat(x, n, axis=0)
+
+
+@partial(jax.jit, static_argnames=("model", "umax", "sample_num",
+                                  "rank_model", "threshold", "lm_apply",
+                                  "beam_width", "lm_weight"))
+def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
+                   sample_num: int = 1, threshold: float = 0.9,
+                   rank_model: str = "none",
+                   lm_apply: Optional[Callable] = None,
+                   lm_params=None, beam_width: int = 1,
+                   lm_weight: float = 0.0):
+    """Single-pass NAT decode, optionally with ESA sampling + ranking.
+
+    Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
+    to the predicted length (eos slot excluded).
+
+    rank_model: 'none' | 'lm' | 'at_baseline' — ESA candidate ranking
+    (reference: cassnat.py:499-573). For 'lm', lm_apply(lm_params, tokens)
+    must return (N, L, V) log-probs; for 'at_baseline' it must return
+    per-position log-probs of an AT decoder given the same feats
+    (wired by the task layer).
+    """
+    bs = feats.shape[0]
+    enc_h, enc_mask, ctc_out = model.apply(
+        params, feats, src_mask, method="encode_ctc")
+
+    if sample_num > 1:
+        enc_h = _repeat_batch(enc_h, sample_num)
+        enc_mask = _repeat_batch(enc_mask, sample_num)
+        ctc_out = _repeat_batch(ctc_out, sample_num)
+
+    shift, ylen0 = ctc_best_path_align(
+        ctc_out, enc_mask, sample_num=sample_num, threshold=threshold,
+        rng=rng)
+    att_out, ylen = model.apply(params, enc_h, enc_mask, shift, ylen0, umax,
+                                method="nat_decode")
+    # token slots: positions < ylen-1 are tokens, slot ylen-1 is EOS.
+    n = att_out.shape[0]
+    att_pred = att_out.argmax(-1)  # (N, umax)
+    slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
+
+    if sample_num > 1:
+        if rank_model in ("lm", "at_baseline"):
+            sos = jnp.ones((n, 1), att_pred.dtype)
+            lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
+            lm_out = lm_apply(lm_params, lm_input)  # (N, umax, V)
+            tok_scores = jnp.take_along_axis(
+                lm_out, att_pred[..., None], axis=-1)[..., 0]
+            tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
+            denom = jnp.maximum(slot_valid.sum(-1), 1)
+            cand_score = tok_scores.sum(-1) / denom  # (N,)
+        else:
+            # rank by the NAT model's own confidence
+            own = jnp.take_along_axis(att_out, att_pred[..., None],
+                                      axis=-1)[..., 0]
+            own = jnp.where(slot_valid, own, 0.0)
+            cand_score = own.sum(-1) / jnp.maximum(slot_valid.sum(-1), 1)
+        cand_score = cand_score.reshape(bs, sample_num)
+        best = cand_score.argmax(-1)  # (B,)
+        att_pred = att_pred.reshape(bs, sample_num, umax)[
+            jnp.arange(bs), best]
+        att_out_sel = att_out.reshape(bs, sample_num, umax, -1)[
+            jnp.arange(bs), best]
+        ylen = ylen.reshape(bs, sample_num)[jnp.arange(bs), best]
+        slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
+    else:
+        att_out_sel = att_out
+
+    if lm_weight > 0 and lm_apply is not None:
+        sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
+        lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
+        lm_out = lm_apply(lm_params, lm_input)
+        fused = att_out_sel + lm_weight * lm_out
+        att_pred = fused.argmax(-1)
+
+    tokens = jnp.where(slot_valid, att_pred, 0)
+    return {"tokens": tokens, "lengths": jnp.maximum(ylen - 1, 0)}
+
+
+@partial(jax.jit, static_argnames=("model",))
+def ctc_greedy_decode_jit(model, params, feats, src_mask):
+    """Collapsed greedy CTC decode via the model's encoder."""
+    _, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                       method="encode_ctc")
+    toks, lens = ctc_greedy_collapse(ctc_out, enc_mask)
+    return {"tokens": toks, "lengths": lens}
+
+
+# ---------------------------------------------------------------------------
+# AR beam search with CTC joint scoring + LM shallow fusion
+# ---------------------------------------------------------------------------
+
+
+class BeamState(NamedTuple):
+    ys: jnp.ndarray          # (B, K, L) token prefixes (sos at 0)
+    scores: jnp.ndarray      # (B, K) accumulated scores
+    lengths: jnp.ndarray     # (B, K) prefix length incl sos
+    finished: jnp.ndarray    # (B, K) bool
+    ctc_r: jnp.ndarray       # (B, K, T, 2) prefix-scorer states
+    ctc_score: jnp.ndarray   # (B, K) previous CTC prefix score
+
+
+@partial(jax.jit, static_argnames=("model", "beam_width", "ctc_beam",
+                                   "max_steps", "lm_apply", "ctc_weight",
+                                   "lm_weight", "length_penalty",
+                                   "temperature", "sos", "eos", "blank"))
+def ar_beam_decode_jit(model, params, feats, src_mask,
+                       beam_width: int = 20, ctc_beam: int = 30,
+                       ctc_weight: float = 0.4, lm_weight: float = 0.0,
+                       length_penalty: float = 0.0, max_steps: int = 120,
+                       lm_apply: Optional[Callable] = None, lm_params=None,
+                       temperature: float = 1.0,
+                       sos: int = 1, eos: int = 2, blank: int = 0):
+    """Vectorized label-synchronous beam search.
+
+    Joint score per reference (transformer.py:198-212):
+      local = ctc_weight*(ctc_psi - ctc_prev) + (1-ctc_weight)*att_logp
+            + lm_weight*lm_logp
+    with hypotheses ranked by score + (len-1)*length_penalty.
+
+    Returns dict(tokens (B, max_steps), lengths (B,), scores (B,)) for the
+    best hypothesis per utterance.
+    """
+    bs = feats.shape[0]
+    k, w = beam_width, ctc_beam
+    use_ctc = ctc_weight > 0
+
+    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                           method="encode_ctc")
+    tmax = ctc_out.shape[1]
+    ctc_m = mask_ctc_out(ctc_out, enc_mask, blank)
+    r0 = initial_state(ctc_m, blank)
+
+    lmax = max_steps + 1
+    ys0 = jnp.full((bs, k, lmax), blank, jnp.int32).at[:, :, 0].set(sos)
+    scores0 = jnp.full((bs, k), LOG_ZERO).at[:, 0].set(0.0)
+    state = BeamState(
+        ys=ys0,
+        scores=scores0,
+        lengths=jnp.ones((bs, k), jnp.int32),
+        finished=jnp.zeros((bs, k), bool),
+        ctc_r=jnp.broadcast_to(r0[:, None], (bs, k, tmax, 2)),
+        ctc_score=jnp.zeros((bs, k)),
+    )
+
+    enc_flat = _repeat_batch(enc_h, k)          # (B*K, T, D)
+    mask_flat = _repeat_batch(enc_mask, k)
+    ctc_flat = _repeat_batch(ctc_m, k)
+
+    def step(i, state):
+        n = bs * k
+        ys_flat = state.ys.reshape(n, lmax)
+        att_logp = model.apply(params, enc_flat, mask_flat, ys_flat,
+                               temperature, method="decoder_logprobs")
+        # (the decoder reads the last valid position of each prefix)
+        if lm_apply is not None and lm_weight > 0:
+            lm_full = lm_apply(lm_params, ys_flat)  # (N, L, V)
+            lm_logp = jnp.take_along_axis(
+                lm_full, (state.lengths.reshape(n) - 1)[:, None, None]
+                .repeat(lm_full.shape[-1], -1), axis=1)[:, 0]
+        else:
+            lm_logp = None
+
+        if use_ctc:
+            att_top, cand = jax.lax.top_k(att_logp, w)  # (N, W)
+            y_last = jnp.take_along_axis(
+                ys_flat, (state.lengths.reshape(n) - 1)[:, None],
+                axis=1)[:, 0]
+            psi, r_new = prefix_score_step(
+                ctc_flat, cand, y_last, state.ctc_r.reshape(n, tmax, 2),
+                is_empty_prefix=(state.lengths.reshape(n) == 1),
+                blank=blank, eos=eos)
+            local = ctc_weight * (psi - state.ctc_score.reshape(n)[:, None]) \
+                + (1 - ctc_weight) * att_top
+            if lm_logp is not None:
+                local = local + lm_weight * jnp.take_along_axis(
+                    lm_logp, cand, axis=1)
+            new_ctc_score = psi
+        else:
+            local = att_logp + (lm_weight * lm_logp
+                                if lm_logp is not None else 0.0)
+            cand = jnp.broadcast_to(
+                jnp.arange(local.shape[1])[None], local.shape)
+            r_new = None
+            new_ctc_score = None
+
+        wdim = local.shape[1]
+        local = local.reshape(bs, k, wdim)
+        cand = cand.reshape(bs, k, wdim)
+
+        # Finished beams contribute exactly one "stay" candidate: force
+        # candidate 0 = eos with local score 0 and the rest to -inf.
+        fin = state.finished[:, :, None]
+        is_first = (jnp.arange(wdim) == 0)[None, None, :]
+        local = jnp.where(fin, jnp.where(is_first, 0.0, LOG_ZERO), local)
+        cand = jnp.where(fin & is_first, eos, cand)
+
+        total = state.scores[:, :, None] + local  # (B, K, W)
+        # Rank with length penalty: finished beams keep their length.
+        new_len = jnp.where(state.finished, state.lengths,
+                            state.lengths + 1)[:, :, None]
+        rank_key = total + length_penalty * (new_len.astype(total.dtype) - 1)
+        flat_rank = rank_key.reshape(bs, k * wdim)
+        _, top_idx = jax.lax.top_k(flat_rank, k)  # (B, K)
+        parent = top_idx // wdim
+        cand_idx = top_idx % wdim
+
+        def gather_parent(x):
+            return jnp.take_along_axis(
+                x, parent.reshape(bs, k, *([1] * (x.ndim - 2))), axis=1)
+
+        new_scores = jnp.take_along_axis(
+            total.reshape(bs, k * wdim), top_idx, axis=1)
+        token = jnp.take_along_axis(
+            cand.reshape(bs, k * wdim), top_idx, axis=1)  # (B, K)
+        old_fin = jnp.take_along_axis(state.finished, parent, axis=1)
+        old_len = jnp.take_along_axis(state.lengths, parent, axis=1)
+
+        ys = gather_parent(state.ys)
+        ys = jnp.where(
+            (jnp.arange(lmax)[None, None, :] == old_len[:, :, None])
+            & ~old_fin[:, :, None],
+            token[:, :, None], ys)
+        new_lengths = jnp.where(old_fin, old_len, old_len + 1)
+        new_finished = old_fin | (token == eos)
+
+        if use_ctc:
+            r_new = r_new.reshape(bs, k, wdim, tmax, 2)
+            ctc_r = gather_parent(r_new.reshape(bs, k, wdim * tmax * 2)) \
+                .reshape(bs, k, wdim, tmax, 2)
+            ctc_r = jnp.take_along_axis(
+                ctc_r, cand_idx[:, :, None, None, None], axis=2)[:, :, 0]
+            new_cs = jnp.take_along_axis(
+                new_ctc_score.reshape(bs, k, wdim), parent[:, :, None],
+                axis=1)
+            new_cs = jnp.take_along_axis(new_cs, cand_idx[:, :, None],
+                                         axis=2)[:, :, 0]
+            old_ctc_r = gather_parent(state.ctc_r)
+            old_cs = jnp.take_along_axis(state.ctc_score, parent, axis=1)
+            ctc_r = jnp.where(old_fin[:, :, None, None], old_ctc_r, ctc_r)
+            new_cs = jnp.where(old_fin, old_cs, new_cs)
+        else:
+            ctc_r = state.ctc_r
+            new_cs = state.ctc_score
+
+        return BeamState(ys, new_scores, new_lengths, new_finished,
+                         ctc_r, new_cs)
+
+    state = jax.lax.fori_loop(0, max_steps, step, state)
+
+    final_key = state.scores + length_penalty * \
+        (state.lengths.astype(state.scores.dtype) - 1)
+    best = final_key.argmax(-1)  # (B,)
+    ys = state.ys[jnp.arange(bs), best]  # (B, L)
+    lengths = state.lengths[jnp.arange(bs), best]
+    # strip sos; mask everything at/after eos
+    hyp = ys[:, 1:]
+    pos = jnp.arange(hyp.shape[1])[None, :]
+    valid = pos < (lengths - 1)[:, None]
+    hyp = jnp.where(valid & (hyp != eos), hyp, 0)
+    hyp_len = (jnp.where(valid, hyp, 0) != 0).sum(-1)
+    return {"tokens": hyp, "lengths": hyp_len,
+            "scores": state.scores[jnp.arange(bs), best]}
+
+
+# ---------------------------------------------------------------------------
+# Frame-synchronous CTC beam decode (host-side; CTC-only decoding w/ opt. LM)
+# ---------------------------------------------------------------------------
+
+
+def ctc_frame_beam_decode(ctc_out: np.ndarray, feat_sizes: np.ndarray,
+                          beam_width: int = 10, pruning_size: int = 10,
+                          blank: int = 0, lm_score_fn=None,
+                          lm_weight: float = 0.0,
+                          length_penalty: float = 0.0,
+                          blank_skip: float = 0.95):
+    """Classic prefix-merging CTC beam search on host.
+
+    (reference: src/utils/beam_decode.py:8-93 — including the blank-skip
+    shortcut when P(blank) > 0.95.)
+    ctc_out: (B, T, V) numpy log-probs. Returns list of token lists.
+    """
+    ctc_out = np.asarray(ctc_out)
+    bs = ctc_out.shape[0]
+    results = []
+    for b in range(bs):
+        beams = {(): (0.0, LOG_ZERO, 0.0)}  # hyp -> (p_blank, p_nblank, lm)
+        t_len = int(feat_sizes[b])
+        top_idx = np.argsort(-ctc_out[b], axis=-1)[:, :pruning_size]
+        for t in range(t_len):
+            if np.exp(ctc_out[b, t, blank]) > blank_skip:
+                # all hyps extend with blank implicitly
+                beams = {h: (np.logaddexp(pb, pnb) + ctc_out[b, t, blank],
+                             LOG_ZERO, lm)
+                         for h, (pb, pnb, lm) in beams.items()}
+                continue
+            new_beams = {}
+
+            def add(h, pb, pnb, lm):
+                if h in new_beams:
+                    opb, opnb, olm = new_beams[h]
+                    new_beams[h] = (np.logaddexp(opb, pb),
+                                    np.logaddexp(opnb, pnb), olm)
+                else:
+                    new_beams[h] = (pb, pnb, lm)
+
+            for h, (pb, pnb, lm) in beams.items():
+                p_blank = ctc_out[b, t, blank]
+                add(h, np.logaddexp(pb, pnb) + p_blank,
+                    pnb + (ctc_out[b, t, h[-1]] if h else LOG_ZERO), lm)
+                for c in top_idx[t]:
+                    c = int(c)
+                    if c == blank:
+                        continue
+                    p_c = ctc_out[b, t, c]
+                    if h and c == h[-1]:
+                        pnb_new = pb + p_c
+                    else:
+                        pnb_new = np.logaddexp(pb, pnb) + p_c
+                    lm_new = lm
+                    if lm_score_fn is not None and lm_weight > 0:
+                        lm_new = lm + lm_weight * lm_score_fn(h, c)
+                    add(h + (c,), LOG_ZERO, pnb_new, lm_new)
+            scored = sorted(
+                new_beams.items(),
+                key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]) + kv[1][2]
+                + length_penalty * len(kv[0]),
+                reverse=True)
+            beams = dict(scored[:beam_width])
+        best = max(beams.items(),
+                   key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]) + kv[1][2])
+        results.append(list(best[0]))
+    return results
