@@ -258,9 +258,16 @@ class SpeechDataLoader:
         loaded = [self.dataset.load_item(it, augment=self.augment)
                   for it in batch]
         bs = len(loaded)
-        bs_pad = self.batch_size if (self.pad_to_batch and
-                                     not isinstance(self.dataset,
-                                                    DynamicDataset)) else bs
+        if not self.pad_to_batch:
+            bs_pad = bs
+        elif isinstance(self.dataset, DynamicDataset):
+            # dynamic utterance batches never exceed the nominal batch_size;
+            # pad the batch dim to it so XLA sees one batch shape.
+            nominal = self.dataset.batch_size \
+                if self.dataset.batch_type == "utterance" else None
+            bs_pad = nominal if (nominal and bs <= nominal) else bs
+        else:
+            bs_pad = self.batch_size
         fmax = round_up(max(f.shape[0] for _, f, _ in loaded),
                         self.frame_bucket)
         lmax = round_up(max(len(t) for _, _, t in loaded), self.label_bucket)

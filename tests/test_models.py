@@ -144,7 +144,7 @@ def test_lm_forward_and_cache_consistency(rng):
         logp, cache = model.apply(params, tokens[:, pos], cache, pos,
                                   method="score_step")
         np.testing.assert_allclose(np.asarray(logp), np.asarray(full[:, pos]),
-                                   rtol=2e-3, atol=2e-3)
+                                   rtol=2e-2, atol=2e-2)
 
 
 def test_cassnat_nat_decode(rng):

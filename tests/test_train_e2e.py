@@ -1,0 +1,131 @@
+"""End-to-end slice: train tiny models through the task layer on a toy
+corpus, check the loss drops, checkpoints land, surgery works, decode runs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cassnat_asr_public_tpu.utils.config import Config
+from tests.test_data import make_toy_corpus
+
+
+def e2e_args(tmp_path, task, rng, **over):
+    dp, vocab_file, _ = make_toy_corpus(str(tmp_path), n_utts=10, rng=rng)
+    base = dict(
+        exp_dir=os.path.join(str(tmp_path), "exp"),
+        task=task, vocab_file=vocab_file, input_size=24,
+        vocab_size=8, N_enc=2, N_dec=1, N_extra=1, N_self_dec=1, N_mix_dec=1,
+        d_model=16, d_ff=32, d_encff=32, d_decff=32, n_head=2, dropout=0.0,
+        ctc_alpha=1.0, interctc_alpha=0.0, interctc_layer=0,
+        label_smooth=0.1, padding_idx=0,
+        use_conv_enc=False, use_conv_dec=False, model_type="transformer",
+        pos_type="absolute",
+        enc_kernel_size=3, dec_kernel_size=3, enc_max_relative_len=4,
+        dec_max_relative_len=4, share_ff=False,
+        use_trigger=True, src_trigger=True, use_unimask=False,
+        use_best_path=False, sample_topk=0,
+        left_ctx=0, right_ctx=2, skip_frame=1,
+        use_specaug=False, specaug_conf=None, use_cmvn=False,
+        dataset_type="DynamicDataset", batch_size=4, batch_type="utterance",
+        max_frmlen=100, max_lablen=20, max_len=5000,
+        filter_max=10000, filter_min=0,
+        optim_type="noam", noam_factor=0.01, warmup_steps=5,
+        total_steps=100, warmup_type="noam_warmup", learning_rate=1e-3,
+        weight_decay=0.0, grad_clip=5.0, accum_grad=1, eps=1e-9,
+        epochs=3, start_saving_epoch=0, end_patience=10, seed=0,
+        print_freq=1000, resume_model="", model_parallel=1,
+        train_paths=[dp], dev_paths=[dp], test_paths=[dp],
+    )
+    base.update(over)
+    return Config(**base)
+
+
+def run_task(task_cls, args):
+    task = task_cls("train", args)
+    task.build_steps()
+    first = task.run_one_epoch(0, args, is_train=True)
+    for e in range(1, args.epochs):
+        last = task.run_one_epoch(e, args, is_train=True)
+    return task, first, last
+
+
+def test_art_trains_and_loss_drops(tmp_path, rng):
+    from cassnat_asr_public_tpu.tasks import ArtTask
+    args = e2e_args(tmp_path, "art", rng, epochs=4)
+    task, first, last = run_task(ArtTask, args)
+    assert last["loss"].avg < first["loss"].avg
+    task.save_checkpoint("model.last.ckpt", 0)
+    assert os.path.exists(os.path.join(args.exp_dir, "model.last.ckpt"))
+
+
+def test_cassnat_trains_with_surgery_and_decodes(tmp_path, rng):
+    from cassnat_asr_public_tpu.tasks import ArtTask, CassNATTask
+
+    art_args = e2e_args(tmp_path, "art", rng, epochs=1)
+    art = ArtTask("train", art_args)
+    art.save_checkpoint("model.last.ckpt", 0)
+    ast_ckpt = os.path.join(art_args.exp_dir, "model.last.ckpt")
+
+    args = e2e_args(tmp_path, "cassnat", rng, epochs=3,
+                    exp_dir=os.path.join(str(tmp_path), "exp_nat"),
+                    resume_model=ast_ckpt,
+                    noam_factor=[0.005, 0.01], warmup_steps=[5, 5],
+                    freeze_steps=[0, 0])
+    task, first, last = run_task(CassNATTask, args)
+    assert last["loss"].avg < first["loss"].avg
+
+    # encoder surgery actually copied the AST encoder weights
+    import jax
+    from flax import serialization
+    art_p = serialization.to_state_dict(art.state.params)
+    nat_p = serialization.to_state_dict(task.state.params)
+    # note: NAT trained afterwards so exact equality only pre-training;
+    # here we just confirm shapes matched and transplant didn't crash.
+    assert "encoder" in nat_p["params"]
+
+    # decode (greedy single-sample NAT)
+    args.decode_type = "esa_att"
+    args.sample_num = 1
+    args.rank_model = "none"
+    args.test_batch_size = 4
+    task.set_test_dataloader(args)
+    results, elapsed = task.decode(args)
+    assert len(results) == 10
+
+
+def test_checkpoint_average(tmp_path, rng):
+    from cassnat_asr_public_tpu.tasks import ArtTask
+    from cassnat_asr_public_tpu.utils import checkpoint as ck
+    args = e2e_args(tmp_path, "art", rng, epochs=1)
+    task = ArtTask("train", args)
+    task.save_checkpoint("model.1.ckpt", 1)
+    task.save_checkpoint("model.2.ckpt", 2)
+    paths = ck.find_epoch_checkpoints(args.exp_dir, last_n=2)
+    assert len(paths) == 2
+    avg = ck.average_checkpoints(paths)
+    ck.save_checkpoint(os.path.join(args.exp_dir, "averaged.ckpt"),
+                       ck.restore_params(task.state.params, avg))
+    restored = ck.load_checkpoint(os.path.join(args.exp_dir, "averaged.ckpt"))
+    assert "params" in restored
+
+
+def test_lm_trains(tmp_path, rng):
+    from cassnat_asr_public_tpu.tasks import LMTask
+    dp, vocab_file, _ = make_toy_corpus(str(tmp_path), rng=rng)
+    args = Config(
+        exp_dir=os.path.join(str(tmp_path), "exp_lm"), task="lm",
+        vocab_file=vocab_file, vocab_size=8, N=2, d_model=16, d_ff=32,
+        n_head=2, dropout=0.0, padding_idx=0, lm_type="uniLM", max_len=64,
+        batch_size=4, optim_type="noam", noam_factor=0.02, warmup_steps=5,
+        total_steps=100, warmup_type="noam_warmup", learning_rate=1e-3,
+        weight_decay=0.0, grad_clip=5.0, accum_grad=1,
+        epochs=3, start_saving_epoch=0, end_patience=10, seed=0,
+        print_freq=1000, resume_model="", model_parallel=1,
+        train_text=dp["text_label"], dev_text=dp["text_label"])
+    task = LMTask("train", args)
+    task.build_steps()
+    first = task.run_one_epoch(0, args, is_train=True)
+    for e in range(1, 3):
+        last = task.run_one_epoch(e, args, is_train=True)
+    assert last["loss"].avg < first["loss"].avg
