@@ -1,0 +1,135 @@
+"""HubertTask: HubertNAT fine-tuning from a fairseq HuBERT checkpoint.
+
+(reference: src/tasks/hubert_task.py — fairseq checkpoint load with key
+remapping into hub_base.*, raw-audio loaders, NAT decoder training; ESA
+decode via run_hubert.sh.)
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cassnat_asr_public_tpu.data.audio_loader import HubertDataset, \
+    HubertLoader
+from cassnat_asr_public_tpu.models.hubert import (
+    load_fairseq_hubert,
+    make_model as make_hubert,
+)
+from cassnat_asr_public_tpu.ops.ctc import ctc_best_path_align
+from cassnat_asr_public_tpu.tasks.base import BaseTask, TrainState
+from cassnat_asr_public_tpu.utils import metrics as M
+
+
+class HubertTask(BaseTask):
+    model_name = "hubert"
+
+    def set_model(self, args):
+        self.model = make_hubert(args)
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        params = self.model.init(
+            {"params": rng}, jnp.zeros((1, 4000)), jnp.asarray([4000]),
+            jnp.ones((1, 5), jnp.int32), jnp.asarray([3]))
+        self.state = TrainState(params, None)
+
+    def set_optimizer(self, args):
+        super().set_optimizer(args)
+        self.state.opt_state = self.optimizer.init(self.state.params)
+
+    def load_pretrained_model(self, args):
+        """fairseq .pt -> hub_base.* (reference: hubert_task.py:75-117)."""
+        path = args.resume_model
+        if path.endswith(".pt"):
+            self.state.params = load_fairseq_hubert(path, self.state.params)
+            if self.rank == 0:
+                print(f"Imported fairseq HuBERT from {path}", flush=True)
+        else:
+            super().load_pretrained_model(args)
+
+    def set_dataloader(self, args):
+        train_ds = HubertDataset(self.vocab, args.train_paths, args)
+        dev_ds = HubertDataset(self.vocab, args.dev_paths, args)
+        self.train_loader = HubertLoader(train_ds, shuffle=True,
+                                         shard=(self.rank, self.world))
+        self.valid_loader = HubertLoader(dev_ds, shuffle=False,
+                                         shard=(self.rank, self.world))
+
+    def set_test_dataloader(self, args):
+        test_ds = HubertDataset(self.vocab, args.test_paths, args)
+        self.test_loader = HubertLoader(test_ds, shuffle=False)
+
+    def loss_fn(self, params, batch, rngs, train: bool):
+        tgt_label = batch["labels"][:, 1:]
+        sample_topk = getattr(self.args, "sample_topk", 0) if train else 0
+        return self.model.apply(
+            params, batch["wavs"], batch["wav_lens"], tgt_label,
+            batch["label_sizes"], sample_topk=sample_topk,
+            deterministic=not train, rngs=rngs if train else {})
+
+    def build_steps(self):
+        optimizer = self.optimizer
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng):
+            rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 1),
+                    "layerdrop": jax.random.fold_in(rng, 2),
+                    "mask": jax.random.fold_in(rng, 3)}
+
+            def lf(p):
+                out = loss_fn(p, batch, rngs, train=True)
+                return out["loss"], out
+
+            (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, out
+
+        @jax.jit
+        def eval_step(params, batch):
+            return loss_fn(params, batch, {}, train=False)
+
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    def make_meters(self):
+        m = super().make_meters()
+        m.update(ctc_wer=M.AverageMeter("CtcWer", ":.4f"),
+                 att_wer=M.AverageMeter("AttWer", ":.4f"))
+        return m
+
+    def metric_update(self, out, batch, meters):
+        tgt_label = batch["labels"][:, 1:]
+        tokens = int((tgt_label != 0).sum())
+        meters["loss"].update(float(out["loss"]), tokens)
+        errs, total = M.ctc_greedy_wer(np.asarray(out["ctc_out"]), tgt_label,
+                                       np.asarray(out["feat_sizes"]))
+        meters["ctc_wer"].update(errs / total, total)
+        errs, total = M.att_greedy_wer(np.asarray(out["att_out"]), tgt_label)
+        meters["att_wer"].update(errs / total, total)
+
+    def epoch_metric(self, valid_meters):
+        return valid_meters["att_wer"].avg
+
+    def decode(self, args):
+        results = {}
+        t0 = time.time()
+        for batch in self.test_loader:
+            wavs = jnp.asarray(batch["wavs"])
+            lens = jnp.asarray(batch["wav_lens"])
+            enc_h, enc_mask, ctc_out = self.model.apply(
+                self.state.params, wavs, lens, method="encode_ctc")
+            shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
+            umax = int(enc_mask.shape[1]) // 2 + 2
+            att_out, ylen = self.model.apply(
+                self.state.params, enc_h, enc_mask, shift, ylen0, umax,
+                method="nat_decode")
+            pred = np.asarray(att_out.argmax(-1))
+            lens_np = np.asarray(ylen) - 1
+            for i, utt in enumerate(batch["utts"]):
+                hyp = [int(t) for t in pred[i, :max(lens_np[i], 0)] if t > 2]
+                results[utt] = self.vocab.decode(hyp)
+        return results, time.time() - t0

@@ -65,6 +65,12 @@ def merge_configs(cli_args=None, train_config=None, data_config=None):
         cfg.specaug_conf = Config.from_dict(cfg.spec_aug)
     elif hasattr(cfg, "spec_aug"):
         cfg.specaug_conf = cfg.spec_aug
+    # YAML spells compute_dtype as a string; resolve to a jnp dtype.
+    if isinstance(getattr(cfg, "compute_dtype", None), str):
+        import jax.numpy as jnp
+        cfg.compute_dtype = {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[cfg.compute_dtype]
     return cfg
 
 
