@@ -22,8 +22,12 @@ def main():
     import jax.numpy as jnp
 
     from cassnat_asr_public_tpu.models import make_cassnat
+    from cassnat_asr_public_tpu.nn.modules import enable_flash_attention
     from cassnat_asr_public_tpu.utils.config import Config
     from cassnat_asr_public_tpu.utils.decoding import nat_decode_jit
+
+    if jax.default_backend() in ("tpu", "axon"):
+        enable_flash_attention(True)
 
     args = Config(
         vocab_size=4999, N_enc=12, N_extra=1, N_self_dec=5, N_mix_dec=2,

@@ -25,6 +25,21 @@ from flax import linen as nn
 
 MASK_MIN = -1e9  # large-negative for masked attention scores
 
+# Global switch for the Pallas blockwise attention kernel
+# (kernels/flash_attention.py). Enabled by tasks/bench on TPU; the XLA path
+# is used while training with attention dropout (the kernel does not expose
+# attention weights).
+_FLASH_ATTENTION = False
+
+
+def enable_flash_attention(on: bool = True):
+    global _FLASH_ATTENTION
+    _FLASH_ATTENTION = on
+
+
+def flash_attention_enabled() -> bool:
+    return _FLASH_ATTENTION
+
 
 def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
     """Vaswani-style sinusoidal table (max_len, d_model), host-computed once.
@@ -185,12 +200,19 @@ class MultiHeadedAttention(nn.Module):
         q = _split_heads(dense("q")(query), h).transpose(0, 2, 1, 3)
         k = _split_heads(dense("k")(key), h).transpose(0, 2, 1, 3)
         v = _split_heads(dense("v")(value), h).transpose(0, 2, 1, 3)
-        if mask is not None:
-            mask = mask[:, None, :, :]  # same mask on every head
-        w = dot_attention_weights(q, k, mask, 1.0 / math.sqrt(dk),
-                                  nn.Dropout(self.dropout), deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if _FLASH_ATTENTION and (deterministic or self.dropout == 0.0):
+            from cassnat_asr_public_tpu.kernels.flash_attention import \
+                flash_attention
+            b, tq, tk = q.shape[0], q.shape[2], k.shape[2]
+            m3 = None if mask is None else jnp.broadcast_to(mask, (b, tq, tk))
+            out = flash_attention(q, k, v, m3)
+        else:
+            if mask is not None:
+                mask = mask[:, None, :, :]  # same mask on every head
+            w = dot_attention_weights(q, k, mask, 1.0 / math.sqrt(dk),
+                                      nn.Dropout(self.dropout), deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         return dense("out")(_merge_heads(out).astype(self.compute_dtype))
 
 

@@ -8,8 +8,12 @@ Env vars must be set before jax is imported by any test module.
 import os
 
 # The image pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must run on
-# local CPU devices, so force-override rather than setdefault.
+# local CPU devices, so force-override rather than setdefault. The axon
+# remote-Pallas hooks must be disabled too or interpret-mode kernels
+# mis-execute.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
