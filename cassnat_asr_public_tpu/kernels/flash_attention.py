@@ -32,8 +32,25 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
+def default_interpret() -> bool:
+    """Interpret-mode fallback on CPU (Mosaic compiles only for TPU)."""
+    return jax.default_backend() == "cpu"
+
+
+def _attn_kernel_bias(q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref, *,
+                      block_k: int, scale: float):
+    _attn_body(q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref,
+               block_k=block_k, scale=scale)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
                  scale: float):
+    _attn_body(q_ref, k_ref, v_ref, mask_ref, None, o_ref,
+               block_k=block_k, scale=scale)
+
+
+def _attn_body(q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref, *,
+               block_k: int, scale: float):
     q = q_ref[0].astype(jnp.float32) * scale          # (BQ, D)
     tk = k_ref.shape[1]
     bq, d = q.shape
@@ -44,6 +61,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)] \
+                .astype(jnp.float32)
         m_blk = mask_ref[0, :, pl.ds(i * block_k, block_k)]
         s = jnp.where(m_blk, s, NEG_INF)
         m_cur = jnp.maximum(m_prev, s.max(-1))        # (BQ,)
@@ -80,12 +100,13 @@ def _pad_to(x, axis, mult, value=0.0):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret"))
-def flash_attention(q, k, v, mask=None, block_q: int = 128,
+def flash_attention(q, k, v, mask=None, bias=None, block_q: int = 128,
                     block_k: int = 128, interpret: bool = False):
-    """softmax(QK^T/sqrt(D) + mask) V with online softmax.
+    """softmax(QK^T/sqrt(D) + bias + mask) V with online softmax.
 
-    q: (B, H, Tq, D); k, v: (B, H, Tk, D); mask: (B, Tq, Tk) bool or None.
-    Returns (B, H, Tq, D) in q.dtype.
+    q: (B, H, Tq, D); k, v: (B, H, Tk, D); mask: (B, Tq, Tk) bool or None;
+    bias: (B, H, Tq, Tk) additive scores (already scaled), e.g. the
+    Transformer-XL relative-position term. Returns (B, H, Tq, D) in q.dtype.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -106,19 +127,31 @@ def flash_attention(q, k, v, mask=None, block_q: int = 128,
     # replicate mask over heads lazily via index_map (no H-fold materialize)
     grid = (b * h, tq_p // block_q)
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        pl.BlockSpec((1, tk_p, d), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((1, tk_p, d), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((1, block_q, tk_p), lambda bh, i: (bh // h, i, 0)),
+    ]
+    args = [qf, kf, vf, mask_p]
+    if bias is not None:
+        bias_p = _pad_to(_pad_to(bias, 2, block_q), 3, block_k)
+        args.append(bias_p.reshape(b * h, tq_p, tk_p))
+        in_specs.append(
+            pl.BlockSpec((1, block_q, tk_p), lambda bh, i: (bh, i, 0)))
+        kern = functools.partial(_attn_kernel_bias, block_k=block_k,
+                                 scale=scale)
+    else:
+        kern = functools.partial(_attn_kernel, block_k=block_k, scale=scale)
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, block_k=block_k, scale=scale),
+        kern,
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, tk_p, d), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, tk_p, d), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, block_q, tk_p), lambda bh, i: (bh // h, i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
         interpret=interpret,
-    )(qf, kf, vf, mask_p)
+    )(*args)
 
     return out.reshape(b, h, tq_p, d)[:, :, :tq]
 

@@ -202,10 +202,11 @@ class MultiHeadedAttention(nn.Module):
         v = _split_heads(dense("v")(value), h).transpose(0, 2, 1, 3)
         if _FLASH_ATTENTION and (deterministic or self.dropout == 0.0):
             from cassnat_asr_public_tpu.kernels.flash_attention import \
-                flash_attention
+                default_interpret, flash_attention
             b, tq, tk = q.shape[0], q.shape[2], k.shape[2]
             m3 = None if mask is None else jnp.broadcast_to(mask, (b, tq, tk))
-            out = flash_attention(q, k, v, m3)
+            out = flash_attention(q, k, v, m3,
+                                  interpret=default_interpret())
         else:
             if mask is not None:
                 mask = mask[:, None, :, :]  # same mask on every head
@@ -260,11 +261,25 @@ class RelMultiHeadedAttention(nn.Module):
 
         q_u = (q + bias_u.astype(q.dtype)).transpose(0, 2, 1, 3)  # (B,H,Tq,Dk)
         q_v = (q + bias_v.astype(q.dtype)).transpose(0, 2, 1, 3)
-        scores_ac = jnp.einsum("bhqd,bkhd->bhqk", q_u, k,
-                               preferred_element_type=jnp.float32)
         scores_bd = jnp.einsum("bhqd,bkhd->bhqk", q_v, p,
                                preferred_element_type=jnp.float32)
-        scores = (scores_ac + rel_shift(scores_bd)) / math.sqrt(dk)
+        rel_bias = rel_shift(scores_bd) / math.sqrt(dk)
+
+        if _FLASH_ATTENTION and (deterministic or self.dropout == 0.0):
+            from cassnat_asr_public_tpu.kernels.flash_attention import \
+                default_interpret, flash_attention
+            b, tq = q_u.shape[0], q_u.shape[2]
+            tk = key.shape[1]
+            m3 = None if mask is None else jnp.broadcast_to(mask, (b, tq, tk))
+            out = flash_attention(q_u, k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3), m3,
+                                  bias=rel_bias[:, :, :, :tk],
+                                  interpret=default_interpret())
+            return dense("out")(_merge_heads(out).astype(self.compute_dtype))
+
+        scores_ac = jnp.einsum("bhqd,bkhd->bhqk", q_u, k,
+                               preferred_element_type=jnp.float32)
+        scores = scores_ac / math.sqrt(dk) + rel_bias
 
         if mask is not None:
             m = mask[:, None, :, :]

@@ -39,6 +39,44 @@ def check(b, h, tq, tk, d, bq, bk, masked, tag):
 check(2, 2, 64, 96, 32, 32, 32, False, "unmasked")
 check(2, 2, 48, 80, 32, 16, 16, True, "masked")
 check(1, 3, 50, 70, 16, 32, 32, True, "ragged")
+
+# bias path (relative-position term)
+q = jnp.asarray(rng.normal(size=(1, 2, 40, 16)).astype(np.float32))
+k = jnp.asarray(rng.normal(size=(1, 2, 40, 16)).astype(np.float32))
+v = jnp.asarray(rng.normal(size=(1, 2, 40, 16)).astype(np.float32))
+bias = jnp.asarray(rng.normal(size=(1, 2, 40, 40)).astype(np.float32))
+mask = jnp.asarray(rng.random((1, 40, 40)) > 0.3)
+got = flash_attention(q, k, v, mask, bias=bias, block_q=16, block_k=16,
+                      interpret=True)
+import math
+s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(16) + bias
+s = jnp.where(mask[:, None], s, -1e30)
+w = jax.nn.softmax(s, -1)
+w = jnp.where(mask[:, None], w, 0.0)
+ref = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+err = float(jnp.abs(got - ref).max())
+assert err < 2e-3, f"bias: {err}"
+print("bias ok", err)
+
+# RelMultiHeadedAttention flash parity (module level)
+from cassnat_asr_public_tpu.nn import modules as m
+from cassnat_asr_public_tpu.nn.modules import (
+    RelMultiHeadedAttention, RelativePositionalEncoding)
+x = jnp.asarray(rng.normal(size=(2, 24, 32)).astype(np.float32))
+pe_mod = RelativePositionalEncoding(32, 0.0, 8)
+out_pe, _pe_vars = pe_mod.init_with_output(jax.random.PRNGKey(0), x)
+xd, pos = out_pe
+attn = RelMultiHeadedAttention(4, 32, 0.0)
+mask = jnp.asarray(rng.random((2, 24, 24)) > 0.2)
+params = attn.init(jax.random.PRNGKey(1), xd, xd, xd, mask, pos)
+m.enable_flash_attention(False)
+ref_out = attn.apply(params, xd, xd, xd, mask, pos)
+m.enable_flash_attention(True)
+flash_out = attn.apply(params, xd, xd, xd, mask, pos)
+m.enable_flash_attention(False)
+err = float(jnp.abs(ref_out - flash_out).max())
+assert err < 5e-3, f"relmha: {err}"
+print("relmha ok", err)
 print("ALL_OK")
 """
 
