@@ -265,18 +265,10 @@ class RelMultiHeadedAttention(nn.Module):
                                preferred_element_type=jnp.float32)
         rel_bias = rel_shift(scores_bd) / math.sqrt(dk)
 
-        if _FLASH_ATTENTION and (deterministic or self.dropout == 0.0):
-            from cassnat_asr_public_tpu.kernels.flash_attention import \
-                default_interpret, flash_attention
-            b, tq = q_u.shape[0], q_u.shape[2]
-            tk = key.shape[1]
-            m3 = None if mask is None else jnp.broadcast_to(mask, (b, tq, tk))
-            out = flash_attention(q_u, k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3), m3,
-                                  bias=rel_bias[:, :, :, :tk],
-                                  interpret=default_interpret())
-            return dense("out")(_merge_heads(out).astype(self.compute_dtype))
-
+        # NOTE: a bias-input flash variant exists (kernels/flash_attention.py)
+        # but streaming the materialized (B,H,T,T) relative bias from HBM
+        # measured SLOWER than XLA's fused attention at ASR sequence lengths,
+        # so relative attention stays on the XLA path.
         scores_ac = jnp.einsum("bhqd,bkhd->bhqk", q_u, k,
                                preferred_element_type=jnp.float32)
         scores = scores_ac / math.sqrt(dk) + rel_bias

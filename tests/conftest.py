@@ -19,6 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# sitecustomize (axon) imports jax at interpreter start, so XLA_FLAGS set
+# here can be too late; jax_num_cpu_devices works post-import.
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

@@ -58,25 +58,6 @@ err = float(jnp.abs(got - ref).max())
 assert err < 2e-3, f"bias: {err}"
 print("bias ok", err)
 
-# RelMultiHeadedAttention flash parity (module level)
-from cassnat_asr_public_tpu.nn import modules as m
-from cassnat_asr_public_tpu.nn.modules import (
-    RelMultiHeadedAttention, RelativePositionalEncoding)
-x = jnp.asarray(rng.normal(size=(2, 24, 32)).astype(np.float32))
-pe_mod = RelativePositionalEncoding(32, 0.0, 8)
-out_pe, _pe_vars = pe_mod.init_with_output(jax.random.PRNGKey(0), x)
-xd, pos = out_pe
-attn = RelMultiHeadedAttention(4, 32, 0.0)
-mask = jnp.asarray(rng.random((2, 24, 24)) > 0.2)
-params = attn.init(jax.random.PRNGKey(1), xd, xd, xd, mask, pos)
-m.enable_flash_attention(False)
-ref_out = attn.apply(params, xd, xd, xd, mask, pos)
-m.enable_flash_attention(True)
-flash_out = attn.apply(params, xd, xd, xd, mask, pos)
-m.enable_flash_attention(False)
-err = float(jnp.abs(ref_out - flash_out).max())
-assert err < 5e-3, f"relmha: {err}"
-print("relmha ok", err)
 print("ALL_OK")
 """
 

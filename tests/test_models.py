@@ -34,9 +34,9 @@ def tiny_args(**over):
 
 def batch(rng, bs=2, tmax=32, umax=6, feat=20):
     feats = rng.normal(size=(bs, tmax, feat)).astype(np.float32)
-    frames = np.array([tmax, tmax - 9])
+    frames = tmax - 9 * (np.arange(bs) % 2)
     src_mask = np.arange(tmax)[None] < frames[:, None]
-    label_sizes = np.array([umax - 2, umax - 4])
+    label_sizes = umax - 2 - 2 * (np.arange(bs) % 2)
     labels = rng.integers(3, VOCAB, size=(bs, umax + 2))  # sos y.. eos pad
     labels[:, 0] = 1
     for b in range(bs):
