@@ -63,12 +63,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put numpy batch arrays with batch-dim sharding."""
+    """Device-put numpy batch arrays with batch-dim sharding.
+
+    Scalars (0-d) are replicated — used for runtime knobs like the
+    label-smoothing value or the plateau LR scale.
+    """
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, sh)
+        if isinstance(v, np.ndarray) or np.isscalar(v):
+            arr = np.asarray(v)
+            out[k] = jax.device_put(arr, rep if arr.ndim == 0 else sh)
         else:
             out[k] = v
     return out

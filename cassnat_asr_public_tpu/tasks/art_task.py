@@ -22,6 +22,7 @@ from cassnat_asr_public_tpu.utils import metrics as M
 from cassnat_asr_public_tpu.utils import checkpoint as ckpt
 from cassnat_asr_public_tpu.utils.decoding import (
     ar_beam_decode_jit,
+    ctc_correct_decode_jit,
     ctc_greedy_decode_jit,
 )
 
@@ -58,8 +59,8 @@ class ArtTask(BaseTask):
         tgt, tgt_label = labels[:, :-1], labels[:, 1:]
         return self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt, tgt_label,
-            batch["label_sizes"], deterministic=not train,
-            rngs=rngs if train else {})
+            batch["label_sizes"], label_smooth=batch.get("ls"),
+            deterministic=not train, rngs=rngs if train else {})
 
     def make_meters(self):
         m = super().make_meters()
@@ -101,20 +102,32 @@ class ArtTask(BaseTask):
             state = ckpt.load_checkpoint(lm_path)
             self.lm_params = ckpt.restore_params(self.lm_params,
                                                  state["params"])
+        lm = self.lm_model
+        self.lm_apply2 = lambda p, ys: lm.apply(p, ys)
+        self.lm_apply4 = lambda p, ys, feats, mask: lm.apply(p, ys)
 
     def decode(self, args):
         decode_type = getattr(args, "decode_type", "ctc_att")
         results = {}
         t0 = time.time()
-        lm_apply = None
-        if self.lm_model is not None and getattr(args, "lm_weight", 0) > 0:
-            lm_apply = lambda p, ys: self.lm_model.apply(p, ys)
+        use_lm = (self.lm_model is not None
+                  and getattr(args, "lm_weight", 0) > 0)
+        lm_apply = self.lm_apply2 if use_lm else None
         for batch in self.test_loader:
             feats = jnp.asarray(batch["feats"])
             mask = jnp.asarray(batch["src_mask"])
             if decode_type == "ctc_only":
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
                                             feats, mask)
+            elif decode_type == "ctc_correct":
+                # CTC-correction single-pass decode
+                # (reference: transformer.py:243-342)
+                out = ctc_correct_decode_jit(
+                    self.model, self.state.params, feats, mask,
+                    umax=feats.shape[1] // 4 + 2,
+                    lm_apply=self.lm_apply4 if use_lm else None,
+                    lm_params=self.lm_params,
+                    lm_weight=getattr(args, "lm_weight", 0.0))
             else:
                 max_steps = min(
                     int(getattr(args, "max_decode_ratio", 0)

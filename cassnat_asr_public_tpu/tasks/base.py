@@ -71,6 +71,8 @@ class BaseTask:
         self.lm_model = None
         self.lm_params = None
         self.start_epoch = 0
+        self.lr_scale = 1.0
+        self.current_label_smooth = getattr(args, "label_smooth", 0.1)
 
         self.set_model(args)
         if mode == "train":
@@ -183,7 +185,7 @@ class BaseTask:
         loss_fn = self.loss_fn
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, lr_scale):
             def lf(p):
                 out = loss_fn(p, batch, {"dropout": rng, "sample": rng},
                               train=True)
@@ -191,6 +193,9 @@ class BaseTask:
 
             (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            # runtime LR multiplier: plateau annealing for optim_type
+            # 'normal' (reference: ReduceLROnPlateau, art_task.py:95-99)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, out
 
@@ -222,8 +227,10 @@ class BaseTask:
                 rng, sub = jax.random.split(rng)
                 self.state.params, self.state.opt_state, out = \
                     self.train_step(self.state.params, self.state.opt_state,
-                                    batch_dev, sub)
+                                    batch_dev, sub,
+                                    jnp.asarray(self.lr_scale, jnp.float32))
                 self.state.step += 1
+                self.on_train_step(args)
             else:
                 out = self.eval_step(self.state.params, batch_dev)
             self.metric_update(out, batch, meters)
@@ -240,9 +247,11 @@ class BaseTask:
         }
 
     def prepare_batch(self, batch) -> Dict:
-        """numpy batch -> device arrays with batch sharding."""
-        return shard_batch({k: v for k, v in batch.items() if k != "utts"},
-                           self.mesh)
+        """numpy batch -> device arrays with batch sharding; runtime
+        scalars (current label smoothing) ride along replicated."""
+        d = {k: v for k, v in batch.items() if k != "utts"}
+        d["ls"] = np.float32(self.current_label_smooth)
+        return shard_batch(d, self.mesh)
 
     # ---- epoch loop (reference: art_task.py:95-152) ----
     def run(self, args):
@@ -256,6 +265,7 @@ class BaseTask:
             train_meters = self.run_one_epoch(epoch, args, is_train=True)
             valid_meters = self.run_one_epoch(epoch, args, is_train=False)
             metric = self.epoch_metric(valid_meters)
+            self.on_valid_metric(metric, args)
             if self.rank == 0:
                 tr = ", ".join(f"Train {k}: {m.avg:.4f}"
                                for k, m in train_meters.items() if k != "time")
@@ -275,6 +285,41 @@ class BaseTask:
 
     def on_epoch_start(self, epoch, args):
         pass
+
+    def on_train_step(self, args):
+        """Per-update hooks: label-smoothing disable schedule
+        (reference: art_task.py:217-220 — zero the smoothing once the
+        multistep schedule reaches s_decay when disable_ls is set)."""
+        if getattr(args, "disable_ls", False) and \
+                self.state.step >= getattr(args, "s_decay", 1 << 60) and \
+                self.current_label_smooth != 0.0:
+            self.current_label_smooth = 0.0
+            if self.rank == 0:
+                print("Disable label smoothing from here.", flush=True)
+
+    def on_valid_metric(self, metric, args):
+        """Plateau LR annealing for optim_type 'normal'
+        (reference: ReduceLROnPlateau, art_task.py:95-99,
+        cassnat_task.py:161-164)."""
+        if getattr(args, "optim_type", "") != "normal":
+            return
+        if not hasattr(self, "_plateau_best"):
+            self._plateau_best = float("inf")
+            self._plateau_wait = 0
+        if metric < self._plateau_best - 1e-6:
+            self._plateau_best = metric
+            self._plateau_wait = 0
+            return
+        self._plateau_wait += 1
+        if self._plateau_wait > getattr(args, "patience", 2):
+            ratio = getattr(args, "anneal_lr_ratio", 0.5)
+            min_scale = getattr(args, "min_lr", 0.0) / max(
+                getattr(args, "learning_rate", 1.0), 1e-12)
+            self.lr_scale = max(self.lr_scale * ratio, min_scale)
+            self._plateau_wait = 0
+            if self.rank == 0:
+                print(f"Plateau: LR scale -> {self.lr_scale:.4g}",
+                      flush=True)
 
     def epoch_metric(self, valid_meters) -> float:
         return valid_meters["loss"].avg

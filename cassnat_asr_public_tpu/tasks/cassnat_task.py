@@ -89,6 +89,7 @@ class CassNATTask(BaseTask):
         return self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt_label,
             batch["label_sizes"], sample_topk=sample_topk,
+            label_smooth=batch.get("ls"),
             deterministic=not train, rngs=rngs if train else {})
 
     def make_meters(self):
@@ -117,14 +118,15 @@ class CassNATTask(BaseTask):
 
     # ---- decoding (reference: cassnat_task.py:307-377) ----
     def load_lm_model(self, args):
-        """Rank model: 'lm' (transformer LM) or 'at_baseline' (AST decoder).
+        """Rank model: 'lm' (transformer LM) or 'at_baseline' (AST model).
 
         (reference: cassnat_task.py:85-131; kenlm n-gram ranking is
         config-gated out — no kenlm in this image.)
+        lm_apply has the uniform signature (params, tokens, feats, src_mask).
         """
         rank_model = getattr(args, "rank_model", "none")
+        from cassnat_asr_public_tpu.utils.config import merge_configs
         if rank_model == "lm" and getattr(args, "lm_config", None):
-            from cassnat_asr_public_tpu.utils.config import merge_configs
             lm_args = merge_configs(None, args.lm_config)
             lm_args.vocab_size = args.vocab_size
             self.lm_model = make_lm(lm_args)
@@ -135,6 +137,40 @@ class CassNATTask(BaseTask):
                 state = ckpt.load_checkpoint(lm_path)
                 self.lm_params = ckpt.restore_params(self.lm_params,
                                                      state["params"])
+            lm = self.lm_model
+            self.lm_apply = lambda p, ys, feats, mask: lm.apply(p, ys)
+        elif rank_model == "at_baseline" and getattr(args, "rank_config",
+                                                     None):
+            # AT baseline scores candidates with its own decoder
+            # (reference: cassnat.py:509-515)
+            at_args = merge_configs(None, args.rank_config)
+            at_args.vocab_size = args.vocab_size
+            from cassnat_asr_public_tpu.models import make_conformer, \
+                make_transformer
+            maker = make_conformer if getattr(
+                at_args, "model_type", "") == "conformer" or getattr(
+                at_args, "use_conv_enc", False) else make_transformer
+            self.lm_model = maker(args.input_size, at_args)
+            f0 = jnp.zeros((1, 16, args.input_size))
+            m0 = jnp.ones((1, 16), bool)
+            t0 = jnp.ones((1, 4), jnp.int32)
+            self.lm_params = self.lm_model.init(
+                {"params": jax.random.PRNGKey(0)}, f0, m0, t0, t0,
+                jnp.ones((1,), jnp.int32))
+            at_path = getattr(args, "rank_model_path", None)
+            if at_path and os.path.exists(at_path):
+                state = ckpt.load_checkpoint(at_path)
+                self.lm_params = ckpt.restore_params(self.lm_params,
+                                                     state["params"])
+            at = self.lm_model
+
+            def at_apply(p, ys, feats, mask):
+                enc_h, enc_mask, _ = at.apply(p, feats, mask,
+                                              method="encode_ctc")
+                return at.apply(p, enc_h, enc_mask, ys,
+                                method="forward_att_scores")
+
+            self.lm_apply = at_apply
 
     def decode(self, args):
         decode_type = getattr(args, "decode_type", "esa_att")
@@ -144,8 +180,9 @@ class CassNATTask(BaseTask):
             rank_model = "none"
         results = {}
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-        lm_apply = (lambda p, ys: self.lm_model.apply(p, ys)) \
-            if self.lm_model is not None else None
+        lm_apply = getattr(self, "lm_apply", None)
+        hit_stats = None
+        diffs = None
         t0 = time.time()
         for batch in self.test_loader:
             feats = jnp.asarray(batch["feats"])
@@ -153,7 +190,20 @@ class CassNATTask(BaseTask):
             if decode_type == "ctc_only":
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
                                             feats, mask)
-            else:
+            elif decode_type == "oracle_att":
+                # upper bound given perfect alignment
+                # (reference: cassnat.py:449-450)
+                out = nat_decode_jit(
+                    self.model, self.state.params, feats, mask, rng,
+                    umax=batch["labels"].shape[1] - 1, sample_num=1,
+                    align="oracle",
+                    labels=jnp.asarray(batch["labels"][:, 1:-1]),
+                    label_sizes=jnp.asarray(batch["label_sizes"]))
+            elif decode_type == "ctc_att":
+                out = self._decode_ctc_beam_align(args, feats, mask,
+                                                  sample_num, rng,
+                                                  lm_apply)
+            else:  # esa_att / att
                 rng, sub = jax.random.split(rng)
                 umax = max(8, min(feats.shape[1] // 4 + 1,
                                   getattr(args, "decode_max_tokens", 160)))
@@ -164,10 +214,73 @@ class CassNATTask(BaseTask):
                     rank_model=rank_model, lm_apply=lm_apply,
                     lm_params=self.lm_params,
                     lm_weight=getattr(args, "lm_weight", 0.0))
+            if getattr(args, "test_hitrate", False):
+                hit_stats, diffs = self._hitrate_update(
+                    batch, feats, mask, out, hit_stats, diffs)
             toks = np.asarray(out["tokens"])
             lens = np.asarray(out["lengths"])
             for i, utt in enumerate(batch["utts"]):
                 hyp = [int(t) for t in toks[i, :lens[i]] if t > 2]
                 results[utt] = self.vocab.decode(hyp)
         elapsed = time.time() - t0
+        if hit_stats is not None:
+            from cassnat_asr_public_tpu.utils.diagnostics import \
+                format_hitrate
+            print(format_hitrate(hit_stats), flush=True)
+        if diffs is not None and getattr(args, "print_utt2diff", False):
+            for d in sorted(diffs):
+                print(f"utt2diff {d} {diffs[d]}", flush=True)
         return results, elapsed
+
+    def _decode_ctc_beam_align(self, args, feats, mask, sample_num, rng,
+                               lm_apply):
+        """CTC-beam candidate alignments -> Viterbi -> NAT pass.
+
+        (reference: cassnat.py:391-414 beam_path_align + decode_type ctc_att)
+        """
+        from cassnat_asr_public_tpu.ops.ctc import ctc_viterbi_align
+        from cassnat_asr_public_tpu.utils.decoding import (
+            ctc_frame_beam_decode, _repeat_batch)
+        enc_h, enc_mask, ctc_out = self.model.apply(
+            self.state.params, feats, mask, method="encode_ctc")
+        feat_sizes = np.asarray(enc_mask.sum(-1))
+        hyps = ctc_frame_beam_decode(
+            np.asarray(ctc_out), feat_sizes, beam_width=sample_num,
+            pruning_size=getattr(args, "ctc_pruning", 10) or 10)
+        # top-1 per utterance currently carried by the host beam; repeat to
+        # sample_num with the same hypothesis when fewer are available.
+        bs = feats.shape[0]
+        umax = max(max((len(h) for h in hyps), default=1) + 1, 8)
+        labels = np.zeros((bs, umax - 1), np.int32)
+        lsizes = np.zeros((bs,), np.int32)
+        for b, h in enumerate(hyps):
+            labels[b, :len(h)] = h[:umax - 1]
+            lsizes[b] = min(len(h), umax - 1)
+        shift, _ = ctc_viterbi_align(
+            ctc_out, jnp.asarray(labels), enc_mask.sum(-1),
+            jnp.asarray(lsizes))
+        return nat_decode_jit(
+            self.model, self.state.params, feats, mask, rng, umax=umax,
+            sample_num=1, align="external", ext_shift=shift,
+            ext_ylen=jnp.asarray(lsizes))
+
+    def _hitrate_update(self, batch, feats, mask, out, stats, diffs):
+        """Alignment-accuracy + length-diff stats
+        (reference: cassnat.py:454-463, cassnat_task.py:315-365)."""
+        from collections import Counter
+        from cassnat_asr_public_tpu.ops.ctc import (
+            ctc_best_path_align, ctc_viterbi_align)
+        from cassnat_asr_public_tpu.utils.diagnostics import (
+            alignment_hitrate, utt2diff)
+        enc_h, enc_mask, ctc_out = self.model.apply(
+            self.state.params, feats, mask, method="encode_ctc")
+        oracle, _ = ctc_viterbi_align(
+            ctc_out, jnp.asarray(batch["labels"][:, 1:-1]),
+            enc_mask.sum(-1), jnp.asarray(batch["label_sizes"]))
+        pred, plen = ctc_best_path_align(ctc_out, enc_mask)
+        stats = alignment_hitrate(np.asarray(pred), np.asarray(oracle),
+                                  stats)
+        diffs = utt2diff(np.asarray(plen),
+                         np.asarray(batch["label_sizes"]),
+                         diffs if diffs is not None else Counter())
+        return stats, diffs

@@ -74,7 +74,7 @@ class HubertTask(BaseTask):
         loss_fn = self.loss_fn
 
         @jax.jit
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, lr_scale):
             rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 1),
                     "layerdrop": jax.random.fold_in(rng, 2),
                     "mask": jax.random.fold_in(rng, 3)}
@@ -85,6 +85,7 @@ class HubertTask(BaseTask):
 
             (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, out
 

@@ -68,7 +68,7 @@ class LMNATTask(CassNATTask):
         loss_fn = self.loss_fn
 
         @jax.jit
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, lr_scale):
             rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 1),
                     "mask": jax.random.fold_in(rng, 2),
                     "mix": jax.random.fold_in(rng, 3)}
@@ -79,6 +79,7 @@ class LMNATTask(CassNATTask):
 
             (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, out
 

@@ -49,23 +49,31 @@ def _repeat_batch(x, n):
 
 @partial(jax.jit, static_argnames=("model", "umax", "sample_num",
                                   "rank_model", "threshold", "lm_apply",
-                                  "beam_width", "lm_weight"))
+                                  "beam_width", "lm_weight", "align"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
                    lm_apply: Optional[Callable] = None,
                    lm_params=None, beam_width: int = 1,
-                   lm_weight: float = 0.0):
+                   lm_weight: float = 0.0, align: str = "best_path",
+                   labels=None, label_sizes=None,
+                   ext_shift=None, ext_ylen=None):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
     to the predicted length (eos slot excluded).
 
+    align: 'best_path' (ESA sampling when sample_num>1) | 'oracle' (Viterbi
+    against provided labels; reference decode_type oracle_att,
+    cassnat.py:449-450) | 'external' (precomputed aligned_seq_shift/ylen,
+    e.g. from CTC-beam hypotheses; reference beam_path_align
+    cassnat.py:391-414).
+
     rank_model: 'none' | 'lm' | 'at_baseline' — ESA candidate ranking
-    (reference: cassnat.py:499-573). For 'lm', lm_apply(lm_params, tokens)
-    must return (N, L, V) log-probs; for 'at_baseline' it must return
-    per-position log-probs of an AT decoder given the same feats
-    (wired by the task layer).
+    (reference: cassnat.py:499-573). lm_apply has the uniform signature
+    lm_apply(lm_params, tokens, feats, src_mask) -> (N, L, V) log-probs; the
+    'lm' flavor ignores feats/src_mask, 'at_baseline' runs the AST decoder
+    over its own encoding of the same utterances.
     """
     bs = feats.shape[0]
     enc_h, enc_mask, ctc_out = model.apply(
@@ -76,9 +84,17 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         enc_mask = _repeat_batch(enc_mask, sample_num)
         ctc_out = _repeat_batch(ctc_out, sample_num)
 
-    shift, ylen0 = ctc_best_path_align(
-        ctc_out, enc_mask, sample_num=sample_num, threshold=threshold,
-        rng=rng)
+    if align == "oracle":
+        from cassnat_asr_public_tpu.ops.ctc import ctc_viterbi_align
+        shift, _ = ctc_viterbi_align(ctc_out, labels, enc_mask.sum(-1),
+                                     label_sizes)
+        ylen0 = label_sizes
+    elif align == "external":
+        shift, ylen0 = ext_shift, ext_ylen
+    else:
+        shift, ylen0 = ctc_best_path_align(
+            ctc_out, enc_mask, sample_num=sample_num, threshold=threshold,
+            rng=rng)
     att_out, ylen = model.apply(params, enc_h, enc_mask, shift, ylen0, umax,
                                 method="nat_decode")
     # token slots: positions < ylen-1 are tokens, slot ylen-1 is EOS.
@@ -90,7 +106,10 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         if rank_model in ("lm", "at_baseline"):
             sos = jnp.ones((n, 1), att_pred.dtype)
             lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
-            lm_out = lm_apply(lm_params, lm_input)  # (N, umax, V)
+            feats_rep = _repeat_batch(feats, sample_num)
+            mask_rep = _repeat_batch(src_mask, sample_num)
+            lm_out = lm_apply(lm_params, lm_input, feats_rep,
+                              mask_rep)  # (N, umax, V)
             tok_scores = jnp.take_along_axis(
                 lm_out, att_pred[..., None], axis=-1)[..., 0]
             tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
@@ -116,7 +135,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     if lm_weight > 0 and lm_apply is not None:
         sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
         lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
-        lm_out = lm_apply(lm_params, lm_input)
+        lm_out = lm_apply(lm_params, lm_input, feats, src_mask)
         fused = att_out_sel + lm_weight * lm_out
         att_pred = fused.argmax(-1)
 
@@ -131,6 +150,39 @@ def ctc_greedy_decode_jit(model, params, feats, src_mask):
                                        method="encode_ctc")
     toks, lens = ctc_greedy_collapse(ctc_out, enc_mask)
     return {"tokens": toks, "lengths": lens}
+
+
+@partial(jax.jit, static_argnames=("model", "umax", "lm_apply", "lm_weight",
+                                   "sos", "eos"))
+def ctc_correct_decode_jit(model, params, feats, src_mask, umax: int,
+                           lm_apply: Optional[Callable] = None,
+                           lm_params=None, lm_weight: float = 0.0,
+                           sos: int = 1, eos: int = 2):
+    """"CTC correction" decode: feed the collapsed CTC greedy path to the AR
+    decoder in ONE pass, then per-position argmax (+ optional LM fusion).
+
+    (reference: src/models/transformer.py:243-342 fast_decode_with_ctc —
+    the reference's per-position Python beam is replaced by vectorized
+    per-position selection; beam_width 1 matches the recipe defaults.)
+    """
+    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                           method="encode_ctc")
+    hyp, lens = ctc_greedy_collapse(ctc_out, enc_mask)  # (B, T'), (B,)
+    hyp = hyp[:, :umax - 1]
+    lens = jnp.minimum(lens, umax - 1)
+    bs = hyp.shape[0]
+    tgt_in = jnp.concatenate(
+        [jnp.full((bs, 1), sos, hyp.dtype), hyp], axis=1)[:, :umax]
+    att_out = model.apply(params, enc_h, enc_mask, tgt_in,
+                          method="forward_att_scores")  # (B, umax, V)
+    if lm_apply is not None and lm_weight > 0:
+        lm_out = lm_apply(lm_params, tgt_in, feats, src_mask)
+        att_out = att_out + lm_weight * lm_out
+    pred = att_out.argmax(-1)
+    valid = jnp.arange(umax)[None, :] <= lens[:, None]  # +1 slot for eos
+    pred = jnp.where(valid & (pred != eos), pred, 0)
+    out_len = (pred != 0).sum(-1)
+    return {"tokens": pred, "lengths": out_len}
 
 
 # ---------------------------------------------------------------------------
