@@ -160,6 +160,30 @@ class Transformer(nn.Module):
             dec_h, (lengths - 1)[:, None, None], axis=1)[:, 0]
         return self.att_generator(last, temperature)
 
+    # ---- KV-cached incremental decoding (improves on the reference's
+    # cache-less AST decode, transformer.py:188) ----
+
+    def init_decode_state(self, enc_h, batch: int, max_len: int):
+        """(cross_kvs, self_cache) for `decoder_step`."""
+        return (self.decoder.precompute_cross(enc_h),
+                self.decoder.init_cache(batch, max_len))
+
+    def decoder_step(self, tok, pos, cache, cross_kvs, enc_mask,
+                     temperature: float = 1.0):
+        """Next-token log-probs from one new token.
+
+        tok: (B,) current input token; pos: scalar write index.
+        Returns ((B, V) log-probs, new self cache).
+        """
+        from cassnat_asr_public_tpu.nn.modules import \
+            sinusoidal_position_encoding
+        y = self.tgt_embed(tok[:, None])
+        pe = jnp.asarray(sinusoidal_position_encoding(5000, self.d_model))
+        y = y + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=0)[None] \
+            .astype(y.dtype)
+        h, cache = self.decoder.step(y, cache, pos, cross_kvs, enc_mask)
+        return self.att_generator(h[:, 0], temperature), cache
+
     def forward_att_scores(self, enc_h, enc_mask, ys):
         """Per-position log-probs for rescoring (reference: transformer.py:106-116
         returns softmax; we return log-softmax and let callers exp)."""

@@ -16,6 +16,7 @@ Differences from the reference by design:
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -181,38 +182,82 @@ class ConEncoder(nn.Module):
 
 
 class TrfDecoderLayer(nn.Module):
-    """Self-attn + cross-attn + FFN (reference: transformer_blocks.py:34-48)."""
+    """Self-attn + cross-attn + FFN (reference: transformer_blocks.py:34-48).
+
+    setup-style with explicit pre-norms so incremental decoding can reuse the
+    parameters through `step()` with per-layer KV caches — the TPU
+    replacement for the reference's cache-less per-step decoder re-run
+    (transformer.py:188).
+    """
     d_model: int
     n_head: int
     d_ff: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = MultiHeadedAttention(self.n_head, self.d_model,
+                                              self.dropout,
+                                              compute_dtype=self.compute_dtype,
+                                              name="self_attn")
+        self.src_attn = MultiHeadedAttention(self.n_head, self.d_model,
+                                             self.dropout,
+                                             compute_dtype=self.compute_dtype,
+                                             name="src_attn")
+        self.ff = PositionwiseFeedForward(self.d_model, self.d_ff,
+                                          self.dropout,
+                                          compute_dtype=self.compute_dtype,
+                                          name="ff")
+        self.norm0 = LayerNorm(name="norm0")
+        self.norm1 = LayerNorm(name="norm1")
+        self.norm2 = LayerNorm(name="norm2")
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, memory, src_mask, tgt_mask, deterministic=True):
-        self_attn = MultiHeadedAttention(self.n_head, self.d_model,
-                                         self.dropout,
-                                         compute_dtype=self.compute_dtype,
-                                         name="self_attn")
-        src_attn = MultiHeadedAttention(self.n_head, self.d_model,
-                                        self.dropout,
-                                        compute_dtype=self.compute_dtype,
-                                        name="src_attn")
-        ff = PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout,
-                                     compute_dtype=self.compute_dtype,
-                                     name="ff")
-        x = _Sublayer(self.dropout, name="sub0")(
-            x, lambda h: self_attn(h, h, h, tgt_mask,
-                                   deterministic=deterministic), deterministic)
-        x = _Sublayer(self.dropout, name="sub1")(
-            x, lambda h: src_attn(h, memory, memory, src_mask,
-                                  deterministic=deterministic), deterministic)
-        return _Sublayer(self.dropout, name="sub2")(
-            x, lambda h: ff(h, deterministic=deterministic), deterministic)
+        y = self.norm0(x)
+        h = self.self_attn(y, y, y, tgt_mask, deterministic=deterministic)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.src_attn(self.norm1(x), memory, memory, src_mask,
+                          deterministic=deterministic)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.ff(self.norm2(x), deterministic=deterministic)
+        return x + self.drop(h, deterministic=deterministic)
+
+    def cross_kv(self, memory):
+        """Precompute cross-attention K/V from encoder states (once)."""
+        return self.src_attn.kv(memory)
+
+    def step(self, x_t, self_k, self_v, pos, cross_k, cross_v, enc_mask):
+        """One-token decode step.
+
+        x_t: (B, 1, D); self_k/self_v: (B, L, H, Dk) caches updated at `pos`;
+        cross_k/cross_v: precomputed (B, T, H, Dk); enc_mask: (B, T).
+        Returns (y_t, new_self_k, new_self_v).
+        """
+        y = self.norm0(x_t)
+        q = self.self_attn.q_heads(y)
+        k_t, v_t = self.self_attn.kv(y)
+        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_t, pos, axis=1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_t, pos, axis=1)
+        lmax = self_k.shape[1]
+        causal = jnp.arange(lmax)[None, :] <= pos
+        h = self.self_attn.attend_step(q, self_k, self_v,
+                                       jnp.broadcast_to(causal,
+                                                        (x_t.shape[0], lmax)))
+        x_t = x_t + h
+        q2 = self.src_attn.q_heads(self.norm1(x_t))
+        h = self.src_attn.attend_step(q2, cross_k, cross_v, enc_mask)
+        x_t = x_t + h
+        h = self.ff(self.norm2(x_t), deterministic=True)
+        return x_t + h, self_k, self_v
 
 
 class TrfDecoder(nn.Module):
-    """N-layer decoder + final norm (reference: transformer_blocks.py:85-96)."""
+    """N-layer decoder + final norm (reference: transformer_blocks.py:85-96).
+
+    Exposes `init_cache` / `precompute_cross` / `step` for KV-cached
+    incremental decoding.
+    """
     d_model: int
     n_head: int
     d_ff: int
@@ -221,16 +266,39 @@ class TrfDecoder(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
-    @nn.compact
-    def __call__(self, x, memory, src_mask, tgt_mask, deterministic=True):
+    def setup(self):
         layer_cls = TrfDecoderLayer
         if self.remat:
             layer_cls = nn.remat(TrfDecoderLayer, static_argnums=(4,))
-        for i in range(self.n_layers):
-            x = layer_cls(self.d_model, self.n_head, self.d_ff, self.dropout,
-                          self.compute_dtype, name=f"layer{i}")(
-                x, memory, src_mask, tgt_mask, deterministic)
-        return LayerNorm(name="norm")(x)
+        self.layers = [layer_cls(self.d_model, self.n_head, self.d_ff,
+                                 self.dropout, self.compute_dtype,
+                                 name=f"layer{i}")
+                       for i in range(self.n_layers)]
+        self.norm = LayerNorm(name="norm")
+
+    def __call__(self, x, memory, src_mask, tgt_mask, deterministic=True):
+        for layer in self.layers:
+            x = layer(x, memory, src_mask, tgt_mask, deterministic)
+        return self.norm(x)
+
+    def precompute_cross(self, memory):
+        """Per-layer cross-attention K/V from the encoder output."""
+        return [layer.cross_kv(memory) for layer in self.layers]
+
+    def init_cache(self, batch: int, max_len: int):
+        dk = self.d_model // self.n_head
+        shape = (batch, max_len, self.n_head, dk)
+        return [(jnp.zeros(shape, self.compute_dtype),
+                 jnp.zeros(shape, self.compute_dtype))
+                for _ in range(self.n_layers)]
+
+    def step(self, x_t, cache, pos, cross_kvs, enc_mask):
+        """One-token step through all layers; returns (hidden, new cache)."""
+        new_cache = []
+        for layer, (sk, sv), (ck, cv) in zip(self.layers, cache, cross_kvs):
+            x_t, sk, sv = layer.step(x_t, sk, sv, pos, ck, cv, enc_mask)
+            new_cache.append((sk, sv))
+        return self.norm(x_t), new_cache
 
 
 # ---------------------------------------------------------------------------

@@ -183,23 +183,57 @@ def dot_attention_weights(q, k, mask, scale, dropout_mod=None,
 
 
 class MultiHeadedAttention(nn.Module):
-    """Standard scaled-dot MHA (reference: attention.py:26-66)."""
+    """Standard scaled-dot MHA (reference: attention.py:26-66).
+
+    setup-style so decode-time KV caching can reuse the projections
+    (kv() / q_heads() / attend_step()); the param tree is unchanged.
+    """
     n_head: int
     d_model: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        mk = lambda name: nn.Dense(
+            self.d_model, dtype=self.compute_dtype, name=name,
+            kernel_init=nn.initializers.xavier_uniform())
+        self.q_proj, self.k_proj, self.v_proj, self.o_proj = (
+            mk("q"), mk("k"), mk("v"), mk("out"))
+        self.attn_drop = nn.Dropout(self.dropout)
+
+    def kv(self, x):
+        """Projected key/value heads (B, T, H, Dk) for caching."""
+        h = self.n_head
+        return _split_heads(self.k_proj(x), h), _split_heads(self.v_proj(x), h)
+
+    def q_heads(self, x):
+        return _split_heads(self.q_proj(x), self.n_head)
+
+    def attend_step(self, q_t, k_all, v_all, mask=None):
+        """Single-query attention against cached keys.
+
+        q_t: (B, 1, H, Dk); k_all/v_all: (B, L, H, Dk);
+        mask: (B, L) bool valid-key mask. Returns (B, 1, D).
+        """
+        dk = self.d_model // self.n_head
+        s = jnp.einsum("bqhd,bkhd->bhqk", q_t, k_all,
+                       preferred_element_type=jnp.float32) / math.sqrt(dk)
+        if mask is not None:
+            s = jnp.where(mask[:, None, None, :], s, MASK_MIN)
+        w = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v_all.dtype), v_all,
+                         preferred_element_type=jnp.float32)
+        b = q_t.shape[0]
+        return self.o_proj(out.reshape(b, 1, self.d_model)
+                           .astype(self.compute_dtype))
+
     def __call__(self, query, key, value, mask=None, pos_embed=None,
                  deterministic: bool = True):
         del pos_embed
         h, dk = self.n_head, self.d_model // self.n_head
-        dense = lambda name: nn.Dense(
-            self.d_model, dtype=self.compute_dtype, name=name,
-            kernel_init=nn.initializers.xavier_uniform())
-        q = _split_heads(dense("q")(query), h).transpose(0, 2, 1, 3)
-        k = _split_heads(dense("k")(key), h).transpose(0, 2, 1, 3)
-        v = _split_heads(dense("v")(value), h).transpose(0, 2, 1, 3)
+        q = _split_heads(self.q_proj(query), h).transpose(0, 2, 1, 3)
+        k = _split_heads(self.k_proj(key), h).transpose(0, 2, 1, 3)
+        v = _split_heads(self.v_proj(value), h).transpose(0, 2, 1, 3)
         if _FLASH_ATTENTION and (deterministic or self.dropout == 0.0):
             from cassnat_asr_public_tpu.kernels.flash_attention import \
                 default_interpret, flash_attention
@@ -211,10 +245,10 @@ class MultiHeadedAttention(nn.Module):
             if mask is not None:
                 mask = mask[:, None, :, :]  # same mask on every head
             w = dot_attention_weights(q, k, mask, 1.0 / math.sqrt(dk),
-                                      nn.Dropout(self.dropout), deterministic)
+                                      self.attn_drop, deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
-        return dense("out")(_merge_heads(out).astype(self.compute_dtype))
+        return self.o_proj(_merge_heads(out).astype(self.compute_dtype))
 
 
 def rel_shift(scores_bd):

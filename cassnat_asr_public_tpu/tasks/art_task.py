@@ -21,6 +21,7 @@ from cassnat_asr_public_tpu.tasks.base import BaseTask
 from cassnat_asr_public_tpu.utils import metrics as M
 from cassnat_asr_public_tpu.utils import checkpoint as ckpt
 from cassnat_asr_public_tpu.utils.decoding import (
+    ar_beam_decode_cached_jit,
     ar_beam_decode_jit,
     ctc_correct_decode_jit,
     ctc_greedy_decode_jit,
@@ -133,7 +134,9 @@ class ArtTask(BaseTask):
                     int(getattr(args, "max_decode_ratio", 0)
                         * feats.shape[1] / 4) or feats.shape[1] // 4,
                     feats.shape[1] // 4 + 8)
-                out = ar_beam_decode_jit(
+                beam_fn = ar_beam_decode_cached_jit if getattr(
+                    args, "use_kv_cache", True) else ar_beam_decode_jit
+                out = beam_fn(
                     self.model, self.state.params, feats, mask,
                     beam_width=getattr(args, "beam_width", 20),
                     ctc_beam=getattr(args, "ctc_beam", 30),

@@ -362,6 +362,173 @@ def ar_beam_decode_jit(model, params, feats, src_mask,
             "scores": state.scores[jnp.arange(bs), best]}
 
 
+@partial(jax.jit, static_argnames=("model", "beam_width", "ctc_beam",
+                                   "max_steps", "lm_apply", "ctc_weight",
+                                   "lm_weight", "length_penalty",
+                                   "temperature", "sos", "eos", "blank"))
+def ar_beam_decode_cached_jit(model, params, feats, src_mask,
+                              beam_width: int = 20, ctc_beam: int = 30,
+                              ctc_weight: float = 0.4,
+                              lm_weight: float = 0.0,
+                              length_penalty: float = 0.0,
+                              max_steps: int = 120,
+                              lm_apply: Optional[Callable] = None,
+                              lm_params=None, temperature: float = 1.0,
+                              sos: int = 1, eos: int = 2, blank: int = 0):
+    """KV-cached label-synchronous beam search.
+
+    Same scoring as ar_beam_decode_jit, but the decoder runs ONE token per
+    step against per-layer self-attention caches and precomputed cross
+    K/V — O(L*(L+T)) instead of the reference's O(L^2*(L+T)) cache-less
+    re-run (reference: transformer.py:188). The beam reorder gathers the
+    caches by parent index each step.
+    """
+    bs = feats.shape[0]
+    k, w = beam_width, ctc_beam
+    use_ctc = ctc_weight > 0
+
+    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                           method="encode_ctc")
+    tmax = ctc_out.shape[1]
+    ctc_m = mask_ctc_out(ctc_out, enc_mask, blank)
+    r0 = initial_state(ctc_m, blank)
+
+    n = bs * k
+    enc_flat = _repeat_batch(enc_h, k)
+    mask_flat = _repeat_batch(enc_mask, k)
+    ctc_flat = _repeat_batch(ctc_m, k)
+
+    lmax = max_steps + 1
+    cross_kvs, cache0 = model.apply(params, enc_flat, n, lmax,
+                                    method="init_decode_state")
+
+    ys0 = jnp.full((bs, k, lmax), blank, jnp.int32).at[:, :, 0].set(sos)
+    state = BeamState(
+        ys=ys0,
+        scores=jnp.full((bs, k), LOG_ZERO).at[:, 0].set(0.0),
+        lengths=jnp.ones((bs, k), jnp.int32),
+        finished=jnp.zeros((bs, k), bool),
+        ctc_r=jnp.broadcast_to(r0[:, None], (bs, k, tmax, 2)),
+        ctc_score=jnp.zeros((bs, k)),
+    )
+
+    def step(i, carry):
+        state, cache = carry
+        last_tok = jnp.take_along_axis(
+            state.ys.reshape(n, lmax),
+            jnp.clip(state.lengths.reshape(n) - 1, 0, lmax - 1)[:, None],
+            axis=1)[:, 0]
+        att_logp, cache = model.apply(
+            params, last_tok, i, cache, cross_kvs, mask_flat, temperature,
+            method="decoder_step")
+
+        if lm_apply is not None and lm_weight > 0:
+            lm_full = lm_apply(lm_params, state.ys.reshape(n, lmax))
+            lm_logp = jnp.take_along_axis(
+                lm_full, (state.lengths.reshape(n) - 1)[:, None, None]
+                .repeat(lm_full.shape[-1], -1), axis=1)[:, 0]
+        else:
+            lm_logp = None
+
+        if use_ctc:
+            att_top, cand = jax.lax.top_k(att_logp, w)
+            psi, r_new = prefix_score_step(
+                ctc_flat, cand, last_tok, state.ctc_r.reshape(n, tmax, 2),
+                is_empty_prefix=(state.lengths.reshape(n) == 1),
+                blank=blank, eos=eos)
+            local = ctc_weight * (psi - state.ctc_score.reshape(n)[:, None]) \
+                + (1 - ctc_weight) * att_top
+            if lm_logp is not None:
+                local = local + lm_weight * jnp.take_along_axis(
+                    lm_logp, cand, axis=1)
+            new_ctc_score = psi
+        else:
+            local = att_logp + (lm_weight * lm_logp
+                                if lm_logp is not None else 0.0)
+            cand = jnp.broadcast_to(
+                jnp.arange(local.shape[1])[None], local.shape)
+            r_new, new_ctc_score = None, None
+
+        wdim = local.shape[1]
+        local = local.reshape(bs, k, wdim)
+        cand = cand.reshape(bs, k, wdim)
+        fin = state.finished[:, :, None]
+        is_first = (jnp.arange(wdim) == 0)[None, None, :]
+        local = jnp.where(fin, jnp.where(is_first, 0.0, LOG_ZERO), local)
+        cand = jnp.where(fin & is_first, eos, cand)
+
+        total = state.scores[:, :, None] + local
+        new_len = jnp.where(state.finished, state.lengths,
+                            state.lengths + 1)[:, :, None]
+        rank_key = total + length_penalty * (new_len.astype(total.dtype) - 1)
+        _, top_idx = jax.lax.top_k(rank_key.reshape(bs, k * wdim), k)
+        parent = top_idx // wdim
+        cand_idx = top_idx % wdim
+
+        def gather_parent(x):
+            return jnp.take_along_axis(
+                x, parent.reshape(bs, k, *([1] * (x.ndim - 2))), axis=1)
+
+        new_scores = jnp.take_along_axis(
+            total.reshape(bs, k * wdim), top_idx, axis=1)
+        token = jnp.take_along_axis(
+            cand.reshape(bs, k * wdim), top_idx, axis=1)
+        old_fin = jnp.take_along_axis(state.finished, parent, axis=1)
+        old_len = jnp.take_along_axis(state.lengths, parent, axis=1)
+
+        ys = gather_parent(state.ys)
+        ys = jnp.where(
+            (jnp.arange(lmax)[None, None, :] == old_len[:, :, None])
+            & ~old_fin[:, :, None], token[:, :, None], ys)
+        new_lengths = jnp.where(old_fin, old_len, old_len + 1)
+        new_finished = old_fin | (token == eos)
+
+        # reorder self-attn caches by parent beam
+        def reorder(c):
+            ck = c.reshape(bs, k, *c.shape[1:])
+            ck = jnp.take_along_axis(
+                ck, parent.reshape(bs, k, *([1] * (ck.ndim - 2))), axis=1)
+            return ck.reshape(n, *c.shape[1:])
+
+        cache = jax.tree_util.tree_map(reorder, cache)
+
+        if use_ctc:
+            r_new = r_new.reshape(bs, k, wdim, tmax, 2)
+            ctc_r = gather_parent(r_new.reshape(bs, k, wdim * tmax * 2)) \
+                .reshape(bs, k, wdim, tmax, 2)
+            ctc_r = jnp.take_along_axis(
+                ctc_r, cand_idx[:, :, None, None, None], axis=2)[:, :, 0]
+            new_cs = jnp.take_along_axis(
+                new_ctc_score.reshape(bs, k, wdim), parent[:, :, None],
+                axis=1)
+            new_cs = jnp.take_along_axis(new_cs, cand_idx[:, :, None],
+                                         axis=2)[:, :, 0]
+            old_ctc_r = gather_parent(state.ctc_r)
+            old_cs = jnp.take_along_axis(state.ctc_score, parent, axis=1)
+            ctc_r = jnp.where(old_fin[:, :, None, None], old_ctc_r, ctc_r)
+            new_cs = jnp.where(old_fin, old_cs, new_cs)
+        else:
+            ctc_r, new_cs = state.ctc_r, state.ctc_score
+
+        return (BeamState(ys, new_scores, new_lengths, new_finished,
+                          ctc_r, new_cs), cache)
+
+    state, _ = jax.lax.fori_loop(0, max_steps, step, (state, cache0))
+
+    final_key = state.scores + length_penalty * \
+        (state.lengths.astype(state.scores.dtype) - 1)
+    best = final_key.argmax(-1)
+    ys = state.ys[jnp.arange(bs), best]
+    lengths = state.lengths[jnp.arange(bs), best]
+    hyp = ys[:, 1:]
+    pos = jnp.arange(hyp.shape[1])[None, :]
+    valid = pos < (lengths - 1)[:, None]
+    hyp = jnp.where(valid & (hyp != eos), hyp, 0)
+    hyp_len = (jnp.where(valid, hyp, 0) != 0).sum(-1)
+    return {"tokens": hyp, "lengths": hyp_len,
+            "scores": state.scores[jnp.arange(bs), best]}
+
+
 # ---------------------------------------------------------------------------
 # Frame-synchronous CTC beam decode (host-side; CTC-only decoding w/ opt. LM)
 # ---------------------------------------------------------------------------
