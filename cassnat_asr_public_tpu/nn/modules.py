@@ -345,6 +345,32 @@ class ConvModule(nn.Module):
                        name="pointwise2")(h)
 
 
+def conv3x3_s2_taps(x, kernel, bias):
+    """3x3 stride-2 SAME conv as 9 accumulated GEMM taps.
+
+    x: (B, H, W, Cin); kernel: (3, 3, Cin, Cout). Equivalent to
+    nn.Conv(Cout, (3,3), strides=2, padding=1) but lowered as nine clean
+    (B*H'*W', Cin)x(Cin, Cout) matmuls, which map onto the MXU far better
+    than XLA's general conv for the channel-heavy second frontend layer.
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    ho, wo = (h + 1) // 2, (w + 1) // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((b, ho, wo, cout), jnp.float32)
+    for dt in range(3):
+        for df in range(3):
+            tap = jax.lax.slice(
+                xp, (0, dt, df, 0),
+                (b, min(dt + 2 * ho, h + 2), min(df + 2 * wo, w + 2), cin),
+                (1, 2, 2, 1))
+            tap = tap[:, :ho, :wo, :]
+            out = out + jnp.einsum(
+                "bhwc,cd->bhwd", tap, kernel[dt, df],
+                preferred_element_type=jnp.float32)
+    return (out + bias).astype(x.dtype)
+
+
 class ConvEmbedding(nn.Module):
     """2-layer strided Conv2d frontend: 4x time (and freq) downsample.
 

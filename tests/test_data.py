@@ -126,7 +126,8 @@ def test_dynamic_dataset_batching(tmp_path, rng):
     # splice: 8-dim * 3 context frames = 24
     assert b0["feats"].shape[2] == 24
     assert b0["feats"].shape[1] % 64 == 0  # frame bucket
-    assert (b0["labels"][:, 0] == 1).all()  # sos
+    n_real = len(b0["utts"])  # batch dim may be padded to the nominal size
+    assert (b0["labels"][:n_real, 0] == 1).all()  # sos
     # label_sizes excludes sos/eos
     for i in range(len(b0["utts"])):
         row = b0["labels"][i]
