@@ -248,8 +248,22 @@ class BaseTask:
 
     def prepare_batch(self, batch) -> Dict:
         """numpy batch -> device arrays with batch sharding; runtime
-        scalars (current label smoothing) ride along replicated."""
+        scalars (current label smoothing) ride along replicated.
+
+        The batch dim is padded to a multiple of the mesh's data axis so
+        every shard is non-empty (padding rows have empty masks/labels and
+        contribute nothing to losses; WER metrics skip them)."""
         d = {k: v for k, v in batch.items() if k != "utts"}
+        n_data = self.mesh.shape["data"]
+        bs = d["labels"].shape[0] if "labels" in d else \
+            next(iter(d.values())).shape[0]
+        pad = (-bs) % n_data
+        if pad:
+            for k, v in d.items():
+                if isinstance(v, np.ndarray) and v.ndim >= 1 \
+                        and v.shape[0] == bs:
+                    d[k] = np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)], 0)
         d["ls"] = np.float32(self.current_label_smooth)
         return shard_batch(d, self.mesh)
 

@@ -101,7 +101,10 @@ def ctc_greedy_wer(ctc_out: np.ndarray, labels: np.ndarray,
     """
     pred = np.asarray(ctc_out).argmax(-1)
     errs, tokens = 0, 0
-    for i in range(pred.shape[0]):
+    n = min(pred.shape[0], len(labels))
+    for i in range(n):
+        if not any(x != pad and x != 2 for x in labels[i]):
+            continue  # batch-padding row
         t = int(feat_sizes[i])
         p = pred[i, :t]
         keep = (p != pad) & np.concatenate([[True], p[1:] != p[:-1]])
@@ -118,7 +121,10 @@ def att_greedy_wer(att_out: np.ndarray, labels: np.ndarray,
     (reference: src/utils/wer.py:31-52)."""
     pred = np.asarray(att_out).argmax(-1)
     errs, tokens = 0, 0
-    for i in range(pred.shape[0]):
+    n = min(pred.shape[0], len(labels))
+    for i in range(n):
+        if not any(x != pad and x != 2 for x in labels[i]):
+            continue  # batch-padding row
         hyp = []
         for j in range(pred.shape[1]):
             if pred[i, j] == pad and j < labels.shape[1] and labels[i, j] == 1:
