@@ -83,19 +83,11 @@ class RelativePositionalEncoding(nn.Module):
         t = x.shape[1]
         table = jnp.asarray(
             sinusoidal_position_encoding(2 * self.max_relative_len + 1, self.d_model))
+        rel = jnp.arange(-(t - 1), t)
+        idx = jnp.clip(rel, -self.max_relative_len, self.max_relative_len) \
+            + self.max_relative_len
+        pos_embed = table[idx].astype(x.dtype)
         drop = nn.Dropout(self.dropout)
-        if 2 * self.max_relative_len + 1 < 2 * t - 1:
-            # Clamped window smaller than the sequence: emit the COMPACT
-            # (2R+1, d) table; RelMultiHeadedAttention computes q·table and
-            # gathers per relative offset — identical math to the reference's
-            # (2T-1)-wide rel-shift (embedding.py:52-60 clamps to the same
-            # table) at a fraction of the FLOPs.
-            pos_embed = table.astype(x.dtype)
-        else:
-            rel = jnp.arange(-(t - 1), t)
-            idx = jnp.clip(rel, -self.max_relative_len,
-                           self.max_relative_len) + self.max_relative_len
-            pos_embed = table[idx].astype(x.dtype)
         return (drop(x, deterministic=deterministic),
                 drop(pos_embed, deterministic=deterministic))
 
@@ -303,26 +295,9 @@ class RelMultiHeadedAttention(nn.Module):
 
         q_u = (q + bias_u.astype(q.dtype)).transpose(0, 2, 1, 3)  # (B,H,Tq,Dk)
         q_v = (q + bias_v.astype(q.dtype)).transpose(0, 2, 1, 3)
-        tq, tk = query.shape[1], key.shape[1]
-        if pos_embed.shape[0] < 2 * tq - 1:
-            # compact clamped table (2R+1, d): score the 2R+1 offsets then
-            # gather the Toeplitz (Tq, Tk) layout — same values the rel-shift
-            # would produce since the wide table repeats its extremes.
-            scores_small = jnp.einsum("bhqd,bkhd->bhqk", q_v, p,
-                                      preferred_element_type=jnp.float32)
-            r = (pos_embed.shape[0] - 1) // 2
-            rel = jnp.clip(jnp.arange(tk)[None, :] - jnp.arange(tq)[:, None],
-                           -r, r) + r  # (Tq, Tk)
-            rel_bias = jnp.take_along_axis(
-                scores_small,
-                jnp.broadcast_to(rel[None, None],
-                                 (scores_small.shape[0],
-                                  scores_small.shape[1], tq, tk)),
-                axis=-1) / math.sqrt(dk)
-        else:
-            scores_bd = jnp.einsum("bhqd,bkhd->bhqk", q_v, p,
-                                   preferred_element_type=jnp.float32)
-            rel_bias = rel_shift(scores_bd) / math.sqrt(dk)
+        scores_bd = jnp.einsum("bhqd,bkhd->bhqk", q_v, p,
+                               preferred_element_type=jnp.float32)
+        rel_bias = rel_shift(scores_bd) / math.sqrt(dk)
 
         # NOTE: a bias-input flash variant exists (kernels/flash_attention.py)
         # but streaming the materialized (B,H,T,T) relative bias from HBM
