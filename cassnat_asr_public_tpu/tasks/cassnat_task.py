@@ -234,35 +234,47 @@ class CassNATTask(BaseTask):
 
     def _decode_ctc_beam_align(self, args, feats, mask, sample_num, rng,
                                lm_apply):
-        """CTC-beam candidate alignments -> Viterbi -> NAT pass.
+        """CTC-beam N-best candidate alignments -> Viterbi -> batched NAT
+        pass with candidate ranking.
 
-        (reference: cassnat.py:391-414 beam_path_align + decode_type ctc_att)
+        (reference: cassnat.py:391-414 beam_path_align + decode_type ctc_att:
+        every beam hypothesis becomes a candidate alignment; the NAT decoder
+        scores all of them in one batched pass and the rank model picks.)
         """
         from cassnat_asr_public_tpu.ops.ctc import ctc_viterbi_align
         from cassnat_asr_public_tpu.utils.decoding import (
             ctc_frame_beam_decode, _repeat_batch)
+        import jax.numpy as jnp
         enc_h, enc_mask, ctc_out = self.model.apply(
             self.state.params, feats, mask, method="encode_ctc")
         feat_sizes = np.asarray(enc_mask.sum(-1))
-        hyps = ctc_frame_beam_decode(
+        nbest = ctc_frame_beam_decode(
             np.asarray(ctc_out), feat_sizes, beam_width=sample_num,
-            pruning_size=getattr(args, "ctc_pruning", 10) or 10)
-        # top-1 per utterance currently carried by the host beam; repeat to
-        # sample_num with the same hypothesis when fewer are available.
+            pruning_size=getattr(args, "ctc_pruning", 10) or 10,
+            return_nbest=sample_num)
         bs = feats.shape[0]
-        umax = max(max((len(h) for h in hyps), default=1) + 1, 8)
-        labels = np.zeros((bs, umax - 1), np.int32)
-        lsizes = np.zeros((bs,), np.int32)
-        for b, h in enumerate(hyps):
-            labels[b, :len(h)] = h[:umax - 1]
-            lsizes[b] = min(len(h), umax - 1)
+        flat = [h for utt in nbest for h in utt]  # (B*S,) hypothesis lists
+        umax = max(max((len(h) for h in flat), default=1) + 1, 8)
+        labels = np.zeros((bs * sample_num, umax - 1), np.int32)
+        lsizes = np.zeros((bs * sample_num,), np.int32)
+        for i, h in enumerate(flat):
+            labels[i, :len(h)] = h[:umax - 1]
+            lsizes[i] = min(len(h), umax - 1)
+        lsizes = np.maximum(lsizes, 1)
+        ctc_rep = jnp.repeat(ctc_out, sample_num, axis=0)
+        mask_rep = jnp.repeat(enc_mask, sample_num, axis=0)
         shift, _ = ctc_viterbi_align(
-            ctc_out, jnp.asarray(labels), enc_mask.sum(-1),
+            ctc_rep, jnp.asarray(labels), mask_rep.sum(-1),
             jnp.asarray(lsizes))
+        rank_model = getattr(args, "rank_model", "none")
+        if self.lm_model is None:
+            rank_model = "none"
         return nat_decode_jit(
             self.model, self.state.params, feats, mask, rng, umax=umax,
-            sample_num=1, align="external", ext_shift=shift,
-            ext_ylen=jnp.asarray(lsizes))
+            sample_num=sample_num, align="external", ext_shift=shift,
+            ext_ylen=jnp.asarray(lsizes), rank_model=rank_model,
+            lm_apply=lm_apply, lm_params=self.lm_params,
+            lm_weight=getattr(args, "lm_weight", 0.0))
 
     def _hitrate_update(self, batch, feats, mask, out, stats, diffs):
         """Alignment-accuracy + length-diff stats

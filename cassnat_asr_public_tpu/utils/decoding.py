@@ -539,12 +539,16 @@ def ctc_frame_beam_decode(ctc_out: np.ndarray, feat_sizes: np.ndarray,
                           blank: int = 0, lm_score_fn=None,
                           lm_weight: float = 0.0,
                           length_penalty: float = 0.0,
-                          blank_skip: float = 0.95):
+                          blank_skip: float = 0.95,
+                          return_nbest: int = 0):
     """Classic prefix-merging CTC beam search on host.
 
     (reference: src/utils/beam_decode.py:8-93 — including the blank-skip
     shortcut when P(blank) > 0.95.)
-    ctc_out: (B, T, V) numpy log-probs. Returns list of token lists.
+    ctc_out: (B, T, V) numpy log-probs. Returns list of token lists, or with
+    return_nbest > 0 a list of n-best lists per utterance (short lists are
+    padded by repeating the best hypothesis — used as ESA candidate
+    alignments, reference: cassnat.py:391-414).
     """
     ctc_out = np.asarray(ctc_out)
     bs = ctc_out.shape[0]
@@ -593,7 +597,15 @@ def ctc_frame_beam_decode(ctc_out: np.ndarray, feat_sizes: np.ndarray,
                 + length_penalty * len(kv[0]),
                 reverse=True)
             beams = dict(scored[:beam_width])
-        best = max(beams.items(),
-                   key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]) + kv[1][2])
-        results.append(list(best[0]))
+        ranked = sorted(
+            beams.items(),
+            key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]) + kv[1][2],
+            reverse=True)
+        if return_nbest > 0:
+            nbest = [list(h) for h, _ in ranked[:return_nbest]]
+            while len(nbest) < return_nbest:
+                nbest.append(list(nbest[0]) if nbest else [])
+            results.append(nbest)
+        else:
+            results.append(list(ranked[0][0]))
     return results

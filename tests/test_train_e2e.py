@@ -93,6 +93,24 @@ def test_cassnat_trains_with_surgery_and_decodes(tmp_path, rng):
     results, elapsed = task.decode(args)
     assert len(results) == 10
 
+    # ESA with sampled alignments + self ranking
+    args.sample_num = 3
+    args.threshold = 0.9
+    results_esa, _ = task.decode(args)
+    assert len(results_esa) == 10
+
+    # ctc_att: N-best CTC-beam candidate alignments
+    args.decode_type = "ctc_att"
+    args.sample_num = 2
+    results_beam, _ = task.decode(args)
+    assert len(results_beam) == 10
+
+    # oracle decode + hitrate stats
+    args.decode_type = "oracle_att"
+    args.test_hitrate = True
+    results_oracle, _ = task.decode(args)
+    assert len(results_oracle) == 10
+
 
 def test_checkpoint_average(tmp_path, rng):
     from cassnat_asr_public_tpu.tasks import ArtTask
