@@ -49,7 +49,8 @@ def _repeat_batch(x, n):
 
 @partial(jax.jit, static_argnames=("model", "umax", "sample_num",
                                   "rank_model", "threshold", "lm_apply",
-                                  "beam_width", "lm_weight", "align"))
+                                  "beam_width", "lm_weight", "align",
+                                  "lm_model"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -57,7 +58,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    lm_params=None, beam_width: int = 1,
                    lm_weight: float = 0.0, align: str = "best_path",
                    labels=None, label_sizes=None,
-                   ext_shift=None, ext_ylen=None):
+                   ext_shift=None, ext_ylen=None, lm_model=None):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -132,6 +133,12 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     else:
         att_out_sel = att_out
 
+    if beam_width > 1:
+        # per-position beam with KV-cached LM fusion
+        # (reference: cassnat.py:574-637)
+        return nat_position_beam(att_out_sel, ylen, lm_model, lm_params,
+                                 beam_width=beam_width, lm_weight=lm_weight)
+
     if lm_weight > 0 and lm_apply is not None:
         sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
         lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
@@ -183,6 +190,80 @@ def ctc_correct_decode_jit(model, params, feats, src_mask, umax: int,
     pred = jnp.where(valid & (pred != eos), pred, 0)
     out_len = (pred != 0).sum(-1)
     return {"tokens": pred, "lengths": out_len}
+
+
+@partial(jax.jit, static_argnames=("lm_model", "beam_width", "lm_weight",
+                                   "sos", "eos"))
+def nat_position_beam(att_out, ylen, lm_model=None, lm_params=None,
+                      beam_width: int = 4, lm_weight: float = 0.0,
+                      sos: int = 1, eos: int = 2):
+    """Per-position beam over the NAT output posteriors with optional
+    KV-cached LM fusion.
+
+    The NAT decoder emits all positions at once; the reference then runs a
+    small per-position beam where each hypothesis accumulates
+    att_logp[i, tok] + lm_weight * lm_logp(tok | prefix)
+    (reference: cassnat.py:574-637, Python hypothesis lists). Here it is a
+    `lax.fori_loop` over positions with (B, K) beams and the LM advanced by
+    its KV cache.
+
+    att_out: (B, U, V) log-probs; ylen: (B,) slots incl the EOS slot.
+    Returns dict(tokens (B, U), lengths (B,)).
+    """
+    bs, umax, vocab = att_out.shape
+    k = beam_width
+    n = bs * k
+    use_lm = lm_model is not None and lm_weight > 0
+
+    ys0 = jnp.zeros((bs, k, umax), jnp.int32)
+    scores0 = jnp.full((bs, k), LOG_ZERO).at[:, 0].set(0.0)
+    if use_lm:
+        cache0 = lm_model.apply(lm_params, n, umax + 1, method="init_cache")
+        last0 = jnp.full((n,), sos, jnp.int32)
+    else:
+        cache0, last0 = None, None
+
+    def step(i, carry):
+        ys, scores, cache, last = carry
+        local = att_out[:, i]  # (B, V)
+        if use_lm:
+            lm_logp, cache = lm_model.apply(lm_params, last, cache, i,
+                                            method="score_step")
+            local = local[:, None, :] + lm_weight * lm_logp.reshape(bs, k,
+                                                                    vocab)
+        else:
+            local = jnp.broadcast_to(local[:, None, :], (bs, k, vocab))
+        active = (i < (ylen - 1))[:, None, None]  # token slots only
+        # inactive rows: freeze by forcing candidate 0 at score 0
+        freeze = (jnp.arange(vocab) == 0)[None, None, :]
+        local = jnp.where(active, local,
+                          jnp.where(freeze, 0.0, LOG_ZERO))
+        total = scores[:, :, None] + local
+        _, top_idx = jax.lax.top_k(total.reshape(bs, k * vocab), k)
+        parent = top_idx // vocab
+        token = (top_idx % vocab).astype(jnp.int32)
+        scores = jnp.take_along_axis(total.reshape(bs, k * vocab), top_idx,
+                                     axis=1)
+        ys = jnp.take_along_axis(ys, parent[:, :, None], axis=1)
+        ys = ys.at[:, :, i].set(jnp.where(active[:, :, 0], token, 0))
+        if use_lm:
+            def reorder(c):
+                cb = c.reshape(bs, k, *c.shape[1:])
+                cb = jnp.take_along_axis(
+                    cb, parent.reshape(bs, k, *([1] * (cb.ndim - 2))), axis=1)
+                return cb.reshape(n, *c.shape[1:])
+            cache = jax.tree_util.tree_map(reorder, cache)
+            last = jnp.where((i < (ylen - 1))[:, None],
+                             ys[:, :, i], sos).reshape(n)
+        return ys, scores, cache, last
+
+    ys, scores, _, _ = jax.lax.fori_loop(
+        0, umax, step, (ys0, scores0, cache0, last0))
+    best = scores.argmax(-1)
+    tokens = ys[jnp.arange(bs), best]
+    valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
+    tokens = jnp.where(valid & (tokens != eos), tokens, 0)
+    return {"tokens": tokens, "lengths": jnp.maximum(ylen - 1, 0)}
 
 
 # ---------------------------------------------------------------------------

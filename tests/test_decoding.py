@@ -88,3 +88,39 @@ def test_ar_beam_prefers_likely_sequence(rng):
                              beam_width=2, ctc_beam=4, ctc_weight=0.3,
                              length_penalty=0.0, max_steps=5)
     assert (np.asarray(out["lengths"]) <= 5).all()
+
+
+def test_nat_position_beam_no_lm_equals_argmax(rng):
+    args = tiny_args()
+    model = make_cassnat(20, args)
+    feats, src_mask, labels, label_sizes = batch(rng)
+    tgt_label = labels[:, 1:]
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, src_mask,
+                        tgt_label, label_sizes)
+    out1 = nat_decode_jit(model, params, feats, src_mask,
+                          jax.random.PRNGKey(0), umax=8, sample_num=1)
+    out3 = nat_decode_jit(model, params, feats, src_mask,
+                          jax.random.PRNGKey(0), umax=8, sample_num=1,
+                          beam_width=3)
+    # positions are independent without an LM: beam == per-position argmax
+    np.testing.assert_array_equal(np.asarray(out3["tokens"]),
+                                  np.asarray(out1["tokens"]))
+
+
+def test_nat_position_beam_with_lm(rng):
+    from cassnat_asr_public_tpu.models import make_lm
+    args = tiny_args()
+    model = make_cassnat(20, args)
+    feats, src_mask, labels, label_sizes = batch(rng)
+    tgt_label = labels[:, 1:]
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, src_mask,
+                        tgt_label, label_sizes)
+    lm = make_lm(Config(vocab_size=VOCAB, N=1, d_model=16, d_ff=32, n_head=2,
+                        dropout=0.0, padding_idx=0))
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32))
+    out = nat_decode_jit(model, params, feats, src_mask,
+                         jax.random.PRNGKey(0), umax=8, sample_num=1,
+                         beam_width=3, lm_weight=0.3, lm_model=lm,
+                         lm_params=lm_params)
+    assert out["tokens"].shape == (2, 8)
+    assert (np.asarray(out["tokens"]) >= 0).all()
