@@ -207,12 +207,17 @@ class CassNATTask(BaseTask):
                 rng, sub = jax.random.split(rng)
                 umax = max(8, min(feats.shape[1] // 4 + 1,
                                   getattr(args, "decode_max_tokens", 160)))
+                from cassnat_asr_public_tpu.models.lm import TransformerLM
+                fusion_lm = self.lm_model if isinstance(
+                    self.lm_model, TransformerLM) else None
                 out = nat_decode_jit(
                     self.model, self.state.params, feats, mask, sub,
                     umax=umax, sample_num=sample_num,
                     threshold=getattr(args, "threshold", 0.9),
                     rank_model=rank_model, lm_apply=lm_apply,
                     lm_params=self.lm_params,
+                    beam_width=getattr(args, "beam_width", 1),
+                    lm_model=fusion_lm,
                     lm_weight=getattr(args, "lm_weight", 0.0))
             if getattr(args, "test_hitrate", False):
                 hit_stats, diffs = self._hitrate_update(
