@@ -245,7 +245,13 @@ class SpeechDataLoader:
                  for j in order[i:i + self.batch_size]]
                 for i in range(0, len(order), self.batch_size)]
         rank, world = self.shard
-        return batches[rank::world]
+        shard = batches[rank::world]
+        if world > 1:
+            # Every process must see the SAME number of batches or lockstep
+            # jitted steps hang at epoch end: truncate to the common minimum
+            # across ranks (= floor division of the global count).
+            shard = shard[:len(batches) // world]
+        return shard
 
     def __len__(self):
         return len(self._batch_indices())

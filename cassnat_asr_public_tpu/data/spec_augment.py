@@ -9,8 +9,8 @@ Matches the reference semantics (reference: src/data/spec_augment.py):
   * n_time_mask random time bands of width <= max_time_width (fractional
     values mean a fraction of the utterance length, spec_augment.py:96-100)
 
-A jittable on-device variant lives in ops/specaug.py for the fused-frontend
-path.
+A jittable on-device variant lives in ops/frontend.py (spec_augment_jit)
+for the fused-frontend path.
 """
 
 import numpy as np

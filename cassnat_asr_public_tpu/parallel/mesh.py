@@ -67,14 +67,26 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     Scalars (0-d) are replicated — used for runtime knobs like the
     label-smoothing value or the plateau LR scale.
+
+    Multi-host: each process holds only its shard of the global batch
+    (SpeechDataLoader already splits batches per process), so a plain
+    device_put onto a global NamedSharding would fail for non-addressable
+    devices. Use jax.make_array_from_process_local_data, which assembles
+    the global array from per-process locals.
     """
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
+    multi_host = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) or np.isscalar(v):
             arr = np.asarray(v)
-            out[k] = jax.device_put(arr, rep if arr.ndim == 0 else sh)
+            if arr.ndim == 0:
+                out[k] = jax.device_put(arr, rep)
+            elif multi_host:
+                out[k] = jax.make_array_from_process_local_data(sh, arr)
+            else:
+                out[k] = jax.device_put(arr, sh)
         else:
             out[k] = v
     return out

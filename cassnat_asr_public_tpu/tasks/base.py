@@ -303,9 +303,14 @@ class BaseTask:
     def on_train_step(self, args):
         """Per-update hooks: label-smoothing disable schedule
         (reference: art_task.py:217-220 — zero the smoothing once the
-        multistep schedule reaches s_decay when disable_ls is set)."""
+        multistep schedule reaches s_decay when disable_ls is set).
+
+        s_decay counts OPTIMIZER updates in the reference (its step counter
+        increments once per accum_grad micro-batches), while self.state.step
+        counts micro-batches — so divide by accum_grad before comparing."""
+        accum = max(getattr(args, "accum_grad", 1), 1)
         if getattr(args, "disable_ls", False) and \
-                self.state.step >= getattr(args, "s_decay", 1 << 60) and \
+                self.state.step // accum >= getattr(args, "s_decay", 1 << 60) and \
                 self.current_label_smooth != 0.0:
             self.current_label_smooth = 0.0
             if self.rank == 0:

@@ -73,6 +73,17 @@ class LMTask(BaseTask):
 
     def prepare_batch(self, batch):
         from cassnat_asr_public_tpu.parallel.mesh import shard_batch
+        # pad batch dim to a multiple of the data axis (padding rows are
+        # all-padding_idx and contribute nothing to nll_loss/accuracy)
+        n_data = self.mesh.shape["data"]
+        bs = batch["tokens"].shape[0]
+        pad = (-bs) % n_data
+        if pad:
+            batch = {k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)], 0)
+                if isinstance(v, np.ndarray) and v.ndim >= 1
+                and v.shape[0] == bs else v
+                for k, v in batch.items()}
         return shard_batch(batch, self.mesh)
 
     def epoch_metric(self, valid_meters):

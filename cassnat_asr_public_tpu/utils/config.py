@@ -45,10 +45,11 @@ def load_yaml(path):
 def merge_configs(cli_args=None, train_config=None, data_config=None):
     """Flatten CLI flags + train YAML + data YAML onto one Config.
 
-    Later sources override earlier ones except CLI flags win overall,
-    matching the reference resolution order (train YAML applied over args,
-    then data YAML; reference: train_asr.py:42-62 sets YAML values as
-    attributes of the argparse namespace).
+    Later sources override earlier ones: CLI flags are applied first, then
+    train YAML, then data YAML — so YAML values WIN over CLI flags for keys
+    present in both. This matches the reference resolution order
+    (train_asr.py:42-62 sets YAML values as attributes of the argparse
+    namespace, overwriting any same-named CLI flag).
     """
     cfg = Config()
     if cli_args is not None:
