@@ -145,6 +145,45 @@ class _LMNATBase(CassNAT):
         return jnp.broadcast_to(pe[None, :umax_plus1, :],
                                 (bs, umax_plus1, self.d_model)).astype(dtype)
 
+    def _device_text_from_alignment(self, aligned_seq_shift, umax_plus1):
+        """Decode-time text input from an alignment, on device.
+
+        The reference takes the nonzero tokens of aligned_seq_shift per
+        candidate, detokenizes, and re-tokenizes with the text-encoder
+        tokenizer (reference: lmnat.py:493-516). With the shared-vocab 'lm'
+        text encoder that hop is an identity over ids, so it reduces to a
+        left-justified compaction of the nonzero alignment entries plus a
+        sos prefix — fully jittable.
+        """
+        tok = aligned_seq_shift
+        t = tok.shape[1]
+        key = jnp.where(tok != self.padding_idx, jnp.arange(t)[None, :],
+                        t + jnp.arange(t)[None, :])
+        order = jnp.argsort(key, axis=1)
+        compact = jnp.take_along_axis(
+            jnp.where(tok != self.padding_idx, tok, 0), order, axis=1)
+        compact = compact[:, :umax_plus1 - 1] if t >= umax_plus1 - 1 else \
+            jnp.pad(compact, ((0, 0), (0, umax_plus1 - 1 - t)))
+        sos = jnp.ones((tok.shape[0], 1), tok.dtype)
+        text_input = jnp.concatenate([sos, compact], axis=1)
+        return text_input, text_input != self.padding_idx
+
+    def _decode_common(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
+                       umax_plus1):
+        """Shared decode-time prep: trigger mask, queries, AcExtra + SAD
+        inputs (mirrors CassNAT.nat_decode; reference lmnat.py:415-497)."""
+        feat_sizes = enc_mask.sum(-1)
+        trig = align_to_trigger_mask(aligned_seq_shift, umax_plus1, enc_mask,
+                                     feat_sizes, ylen0,
+                                     blank=self.padding_idx)
+        trig = expand_trigger_mask(trig, self.left_trigger,
+                                   self.right_trigger) & enc_mask[:, None, :]
+        ylen = ylen0 + 1
+        tgt_mask_b1u = (jnp.arange(umax_plus1)[None, :]
+                        < ylen[:, None])[:, None, :]
+        queries = self._queries(enc_h.shape[0], umax_plus1, enc_h.dtype)
+        return trig, ylen, tgt_mask_b1u, queries
+
     def _losses(self, ctc_out, att_out, ylabels, tgt_label, label_sizes,
                 feat_sizes, label_smooth=None):
         out = {}
@@ -210,6 +249,32 @@ class LMNAT(_LMNATBase):
         out.update(ctc_out=ctc_out, att_out=att_out, feat_sizes=feat_sizes)
         return out
 
+    def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
+                   umax_plus1: int, text_input=None, text_mask=None):
+        """Text-fused NAT decode from a precomputed alignment.
+
+        (reference: lmnat.py:415-637 beam_decode — CTC alignment -> text
+        features -> Mix3 fused decoder pass.) text_input=None builds the
+        text on device from the alignment (valid for the shared-vocab 'lm'
+        text encoder); GPT-2/BERT callers pass host-retokenized ids.
+        """
+        trig, ylen, tgt_mask_b1u, queries = self._decode_common(
+            enc_h, enc_mask, aligned_seq_shift, ylen0, umax_plus1)
+        if self.use_conv_dec:
+            ac, dec_pos = self.acembed_extractor(queries, enc_h, trig)
+            pred, _ = self.embed_mapper(ac, tgt_mask_b1u, dec_pos)
+        else:
+            ac = self.acembed_extractor(queries, enc_h, trig)
+            pred, _ = self.embed_mapper(ac, tgt_mask_b1u)
+        if text_input is None:
+            text_input, text_mask = self._device_text_from_alignment(
+                aligned_seq_shift, umax_plus1)
+        text_embed = self._text_features(text_input, text_mask, True)
+        src_mask_dec = trig if self.src_trigger else enc_mask[:, None, :]
+        dec_h, _ = self.mad3(pred, enc_h, text_embed, src_mask_dec,
+                             text_mask[:, None, :], tgt_mask_b1u)
+        return self.att_generator(dec_h), ylen
+
 
 class LMNAT2(_LMNATBase):
     """Text memory fused into the SAD stage (embedding mapper attends to
@@ -264,6 +329,31 @@ class LMNAT2(_LMNATBase):
                            feat_sizes)
         out.update(ctc_out=ctc_out, att_out=att_out, feat_sizes=feat_sizes)
         return out
+
+    def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
+                   umax_plus1: int, text_input=None, text_mask=None):
+        """Decode with text fused at the SAD stage (reference: lmnat2.py
+        beam_decode — SAD is a mixed-attention stack over the text memory)."""
+        trig, ylen, tgt_mask_b1u, queries = self._decode_common(
+            enc_h, enc_mask, aligned_seq_shift, ylen0, umax_plus1)
+        if self.use_conv_dec:
+            ac, dec_pos = self.acembed_extractor(queries, enc_h, trig)
+        else:
+            ac = self.acembed_extractor(queries, enc_h, trig)
+            dec_pos = None
+        if text_input is None:
+            text_input, text_mask = self._device_text_from_alignment(
+                aligned_seq_shift, umax_plus1)
+        text_embed = self._text_features(text_input, text_mask, True)
+        pred, _ = self.sad_mix(ac, text_embed, text_mask[:, None, :],
+                               tgt_mask_b1u)
+        src_mask_dec = trig if self.src_trigger else enc_mask[:, None, :]
+        if self.use_conv_dec:
+            dec_h, _ = self.decoder(pred, enc_h, src_mask_dec, tgt_mask_b1u,
+                                    dec_pos)
+        else:
+            dec_h, _ = self.decoder(pred, enc_h, src_mask_dec, tgt_mask_b1u)
+        return self.att_generator(dec_h), ylen
 
 
 class LMNAT3(_LMNATBase):
@@ -362,6 +452,27 @@ class LMNAT3(_LMNATBase):
         out.update(out_extra, ctc_out=ctc_out, att_out=att_out,
                    feat_sizes=feat_sizes)
         return out
+
+    def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
+                   umax_plus1: int, text_input=None, text_mask=None):
+        """Decode with the text-encoder backbone as SAD, no span masking
+        (reference: lmnat3.py beam_decode)."""
+        del text_input, text_mask  # LMNAT3's SAD consumes embeddings, not text
+        trig, ylen, tgt_mask_b1u, queries = self._decode_common(
+            enc_h, enc_mask, aligned_seq_shift, ylen0, umax_plus1)
+        if self.use_conv_dec:
+            ac, dec_pos = self.acembed_extractor(queries, enc_h, trig)
+        else:
+            ac = self.acembed_extractor(queries, enc_h, trig)
+            dec_pos = None
+        pred = self._text_backbone_on_embeds(ac, True)
+        src_mask_dec = trig if self.src_trigger else enc_mask[:, None, :]
+        if self.use_conv_dec:
+            dec_h, _ = self.decoder(pred, enc_h, src_mask_dec, tgt_mask_b1u,
+                                    dec_pos)
+        else:
+            dec_h, _ = self.decoder(pred, enc_h, src_mask_dec, tgt_mask_b1u)
+        return self.att_generator(dec_h), ylen
 
 
 def _common_kwargs(input_size, args):

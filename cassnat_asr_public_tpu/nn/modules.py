@@ -73,6 +73,14 @@ class RelativePositionalEncoding(nn.Module):
 
     pos index k (0..2T-2) encodes relative offset k-(T-1), clamped to
     +-max_relative_len (reference: src/models/modules/embedding.py:33-60).
+
+    The (2R+1, d) table is held as a FROZEN parameter (stop_gradient), not
+    recomputed on the fly: the reference's make_model xavier-reinitializes
+    every dim>1 parameter including this nominally-frozen embedding table
+    (reference: src/models/cassnat.py "for p in model.parameters" loop), so
+    reference checkpoints carry an arbitrary table that must be
+    transplantable for logit parity. Fresh inits here use the sinusoidal
+    values (the paper's intent).
     """
     d_model: int
     dropout: float = 0.1
@@ -81,8 +89,12 @@ class RelativePositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         t = x.shape[1]
-        table = jnp.asarray(
-            sinusoidal_position_encoding(2 * self.max_relative_len + 1, self.d_model))
+        table = self.param(
+            "table",
+            lambda rng, shape: jnp.asarray(
+                sinusoidal_position_encoding(shape[0], shape[1])),
+            (2 * self.max_relative_len + 1, self.d_model))
+        table = jax.lax.stop_gradient(table)
         rel = jnp.arange(-(t - 1), t)
         idx = jnp.clip(rel, -self.max_relative_len, self.max_relative_len) \
             + self.max_relative_len
@@ -173,10 +185,12 @@ def dot_attention_weights(q, k, mask, scale, dropout_mod=None,
     if mask is not None:
         scores = jnp.where(mask, scores, MASK_MIN)
     w = jax.nn.softmax(scores, axis=-1)
-    if mask is not None:
-        # Fully-masked query rows produce a uniform softmax; zero them like the
-        # reference does for relative attention (attention.py:138).
-        w = jnp.where(mask, w, 0.0)
+    # NOTE: no post-softmax zeroing here — the reference's plain MHA
+    # (attention.py:13-24) leaves fully-masked query rows as a UNIFORM
+    # softmax (mean over all keys), and that garbage leaks into valid slots
+    # through the decoder conv modules; only the relative variant zeroes
+    # masked weights (attention.py:138). Checkpoint-level parity requires
+    # matching both behaviors exactly (tests/test_torch_parity.py).
     if dropout_mod is not None:
         w = dropout_mod(w, deterministic=deterministic)
     return w
@@ -339,7 +353,8 @@ class ConvModule(nn.Module):
                     feature_group_count=self.channels,
                     dtype=self.compute_dtype, name="depthwise")(h)
         # GroupNorm(1, C): normalize over (T, C) jointly per sample.
-        h = nn.GroupNorm(num_groups=1, name="norm")(h)
+        # epsilon matches torch.nn.GroupNorm (reference numerics).
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(h)
         h = self.activation(h)
         return nn.Conv(self.channels, (1,), dtype=self.compute_dtype,
                        name="pointwise2")(h)

@@ -218,7 +218,8 @@ class CassNATTask(BaseTask):
                     lm_params=self.lm_params,
                     beam_width=getattr(args, "beam_width", 1),
                     lm_model=fusion_lm,
-                    lm_weight=getattr(args, "lm_weight", 0.0))
+                    lm_weight=getattr(args, "lm_weight", 0.0),
+                    **self._decode_text_kwargs(feats, mask))
             if getattr(args, "test_hitrate", False):
                 hit_stats, diffs = self._hitrate_update(
                     batch, feats, mask, out, hit_stats, diffs)
@@ -236,6 +237,11 @@ class CassNATTask(BaseTask):
             for d in sorted(diffs):
                 print(f"utt2diff {d} {diffs[d]}", flush=True)
         return results, elapsed
+
+    def _decode_text_kwargs(self, feats, mask):
+        """Extra nat_decode_jit kwargs; LMNAT gpt2/bert flavors inject
+        host-retokenized text here."""
+        return {}
 
     def _decode_ctc_beam_align(self, args, feats, mask, sample_num, rng,
                                lm_apply):

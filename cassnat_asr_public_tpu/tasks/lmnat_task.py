@@ -31,6 +31,7 @@ class LMNATTask(CassNATTask):
 
     def set_model(self, args):
         self.model = MAKERS[self.variant](args.input_size, args)
+        self._set_text_tokenizers(args)
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         feats = jnp.zeros((2, 16, args.input_size))
         mask = jnp.ones((2, 16), bool)
@@ -38,9 +39,86 @@ class LMNATTask(CassNATTask):
         ls = jnp.ones((2,), jnp.int32)
         rngs = {"params": rng, "dropout": rng, "sample": rng, "mask": rng,
                 "mix": rng}
+        init_kwargs = {}
+        if self._needs_host_text():
+            init_kwargs = {"text_input": jnp.ones((2, 6), jnp.int32),
+                           "text_mask": jnp.ones((2, 6), bool)}
         params = self.model.init(rngs, feats, mask, lbl, ls,
-                                 deterministic=False)
+                                 deterministic=False, **init_kwargs)
         self.state = TrainState(params, None)
+
+    # ---- host-side detok->retok hop for GPT-2/BERT text encoders
+    # (reference: lmnat_task.py:29-45 tokenizer setup; lmnat.py:219-233
+    # per-batch re-tokenization) ----
+    def _set_text_tokenizers(self, args):
+        self.asr_tokenizer = None
+        self.text_tokenizer = None
+        ttype = getattr(args, "text_encoder_type", "lm")
+        if ttype not in ("gpt2", "bert"):
+            return
+        from cassnat_asr_public_tpu.data.tokenizer import SPModelTokenizer
+        from cassnat_asr_public_tpu.data.hf_tokenizers import (
+            BertWordPieceTokenizer,
+            GPT2BPETokenizer,
+        )
+        sp_path = getattr(args, "tokenizer", "")
+        if sp_path:
+            self.asr_tokenizer = SPModelTokenizer(sp_path, self.vocab)
+        if ttype == "gpt2":
+            self.text_tokenizer = GPT2BPETokenizer(
+                args.gpt2_encoder_json, args.gpt2_vocab_bpe)
+            eot = self.text_tokenizer.encoder.get("<|endoftext|>", 0)
+            self._text_sos = [eot]  # reference addsos=True for gpt2
+        else:
+            self.text_tokenizer = BertWordPieceTokenizer(args.bert_vocab)
+            self._text_sos = []
+
+    def _needs_host_text(self):
+        # LMNAT3's SAD consumes acoustic embeddings, never token text
+        return self.variant != "lmnat3" and self.text_tokenizer is not None \
+            and getattr(self.args, "text_encoder_type", "lm") in \
+            ("gpt2", "bert")
+
+    def _detok(self, ids):
+        """ASR token ids -> text (SP detok when available, else vocab join)."""
+        if self.asr_tokenizer is not None:
+            pieces = [self.vocab.index2word[int(i)] for i in ids]
+            return self.asr_tokenizer.tokens2text(pieces)
+        return "".join(self.vocab.index2word[int(i)]
+                       for i in ids).replace("▁", " ").strip()
+
+    def _host_text_batch(self, hyp_tokens, hyp_lens, pad_to: int = 16):
+        """CTC-greedy ids -> detok -> text-encoder ids, padded (bucketed to
+        multiples of `pad_to` to bound jit recompiles)."""
+        rows = []
+        for i in range(len(hyp_lens)):
+            ids = [int(t) for t in hyp_tokens[i, :hyp_lens[i]] if t > 2]
+            text = self._detok(ids)
+            rows.append(self._text_sos + self.text_tokenizer.text2tokens(text))
+        tmax = max(max((len(r) for r in rows), default=1), 1)
+        tmax = -(-tmax // pad_to) * pad_to
+        out = np.zeros((len(rows), tmax), np.int32)
+        for i, r in enumerate(rows):
+            out[i, :len(r)] = r[:tmax]
+        # GPT-2 id 0 ('!') is a real token; mask by length, not by id
+        mask = np.arange(tmax)[None, :] < np.array(
+            [min(len(r), tmax) for r in rows])[:, None]
+        mask[:, 0] = True  # never a fully-empty text row
+        return out, mask
+
+    def prepare_batch(self, batch):
+        d = super().prepare_batch(batch)
+        if self._needs_host_text():
+            from cassnat_asr_public_tpu.utils.decoding import \
+                ctc_greedy_decode_jit
+            g = ctc_greedy_decode_jit(self.model, self.state.params,
+                                      d["feats"], d["src_mask"])
+            ti, tm = self._host_text_batch(np.asarray(g["tokens"]),
+                                           np.asarray(g["lengths"]))
+            from cassnat_asr_public_tpu.parallel.mesh import shard_batch
+            d.update(shard_batch({"text_input": ti, "text_mask": tm},
+                                 self.mesh))
+        return d
 
     def load_pretrained_model(self, args):
         """AST encoder init + optional pretrained text encoder
@@ -57,10 +135,28 @@ class LMNATTask(CassNATTask):
     def loss_fn(self, params, batch, rngs, train: bool):
         tgt_label = batch["labels"][:, 1:]
         sample_topk = getattr(self.args, "sample_topk", 0) if train else 0
+        kwargs = {}
+        if "text_input" in batch:
+            kwargs = {"text_input": batch["text_input"],
+                      "text_mask": batch["text_mask"]}
         return self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt_label,
             batch["label_sizes"], sample_topk=sample_topk,
-            deterministic=not train, rngs=rngs if train else {})
+            deterministic=not train, rngs=rngs if train else {}, **kwargs)
+
+    def _decode_text_kwargs(self, feats, mask):
+        """GPT-2/BERT decode: text from the CTC greedy hypothesis, host
+        re-tokenized (reference: lmnat.py:493-521, use_esa_for_text_encoder=0
+        — one text per utterance, repeated over ESA candidates in
+        nat_decode_jit)."""
+        if not self._needs_host_text():
+            return {}
+        from cassnat_asr_public_tpu.utils.decoding import \
+            ctc_greedy_decode_jit
+        g = ctc_greedy_decode_jit(self.model, self.state.params, feats, mask)
+        ti, tm = self._host_text_batch(np.asarray(g["tokens"]),
+                                       np.asarray(g["lengths"]))
+        return {"text_input": jnp.asarray(ti), "text_mask": jnp.asarray(tm)}
 
     def build_steps(self):
         import optax

@@ -58,7 +58,8 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    lm_params=None, beam_width: int = 1,
                    lm_weight: float = 0.0, align: str = "best_path",
                    labels=None, label_sizes=None,
-                   ext_shift=None, ext_ylen=None, lm_model=None):
+                   ext_shift=None, ext_ylen=None, lm_model=None,
+                   text_input=None, text_mask=None):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -96,8 +97,17 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         shift, ylen0 = ctc_best_path_align(
             ctc_out, enc_mask, sample_num=sample_num, threshold=threshold,
             rng=rng)
+    nat_kwargs = {}
+    if text_input is not None:
+        # host-retokenized text (LMNAT gpt2/bert flavors): one row per
+        # utterance, repeated across ESA candidates
+        # (reference: lmnat.py:523-525)
+        if sample_num > 1 and text_input.shape[0] == bs:
+            text_input = _repeat_batch(text_input, sample_num)
+            text_mask = _repeat_batch(text_mask, sample_num)
+        nat_kwargs = {"text_input": text_input, "text_mask": text_mask}
     att_out, ylen = model.apply(params, enc_h, enc_mask, shift, ylen0, umax,
-                                method="nat_decode")
+                                method="nat_decode", **nat_kwargs)
     # token slots: positions < ylen-1 are tokens, slot ylen-1 is EOS.
     n = att_out.shape[0]
     att_pred = att_out.argmax(-1)  # (N, umax)

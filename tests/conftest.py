@@ -21,12 +21,19 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-# sitecustomize (axon) imports jax at interpreter start, so XLA_FLAGS set
-# here can be too late; jax_num_cpu_devices works post-import.
+# sitecustomize (axon) imports jax at interpreter start, so env vars set
+# here can be too late (they are read into jax.config at import time);
+# force the platform/device-count through jax.config post-import. Without
+# the explicit jax_platforms update the suite silently runs on the remote
+# TPU (bf16 matmul precision), breaking tight-tolerance parity tests.
 try:
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU platform, got "
+    f"{jax.devices()[0].platform}")
 
 import numpy as np
 import pytest
