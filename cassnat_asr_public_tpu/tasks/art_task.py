@@ -134,8 +134,13 @@ class ArtTask(BaseTask):
                     int(getattr(args, "max_decode_ratio", 0)
                         * feats.shape[1] / 4) or feats.shape[1] // 4,
                     feats.shape[1] // 4 + 8)
-                beam_fn = ar_beam_decode_cached_jit if getattr(
-                    args, "use_kv_cache", True) else ar_beam_decode_jit
+                cached = getattr(args, "use_kv_cache", True)
+                beam_fn = ar_beam_decode_cached_jit if cached \
+                    else ar_beam_decode_jit
+                extra = {}
+                if cached and use_lm:
+                    # cached path advances the fusion LM by its own KV cache
+                    extra = {"lm_model": self.lm_model}
                 out = beam_fn(
                     self.model, self.state.params, feats, mask,
                     beam_width=getattr(args, "beam_width", 20),
@@ -145,7 +150,7 @@ class ArtTask(BaseTask):
                     length_penalty=getattr(args, "length_penalty", 0.0) or 0.0,
                     max_steps=max_steps,
                     lm_apply=lm_apply, lm_params=self.lm_params,
-                    temperature=getattr(args, "T", 1.0))
+                    temperature=getattr(args, "T", 1.0), **extra)
             toks = np.asarray(out["tokens"])
             for i, utt in enumerate(batch["utts"]):
                 hyp = [int(t) for t in toks[i] if t > 2]

@@ -456,7 +456,8 @@ def ar_beam_decode_jit(model, params, feats, src_mask,
 @partial(jax.jit, static_argnames=("model", "beam_width", "ctc_beam",
                                    "max_steps", "lm_apply", "ctc_weight",
                                    "lm_weight", "length_penalty",
-                                   "temperature", "sos", "eos", "blank"))
+                                   "temperature", "sos", "eos", "blank",
+                                   "lm_model"))
 def ar_beam_decode_cached_jit(model, params, feats, src_mask,
                               beam_width: int = 20, ctc_beam: int = 30,
                               ctc_weight: float = 0.4,
@@ -465,7 +466,8 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
                               max_steps: int = 120,
                               lm_apply: Optional[Callable] = None,
                               lm_params=None, temperature: float = 1.0,
-                              sos: int = 1, eos: int = 2, blank: int = 0):
+                              sos: int = 1, eos: int = 2, blank: int = 0,
+                              lm_model=None):
     """KV-cached label-synchronous beam search.
 
     Same scoring as ar_beam_decode_jit, but the decoder runs ONE token per
@@ -473,6 +475,11 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
     K/V — O(L*(L+T)) instead of the reference's O(L^2*(L+T)) cache-less
     re-run (reference: transformer.py:188). The beam reorder gathers the
     caches by parent index each step.
+
+    LM fusion: pass `lm_model` (a TransformerLM) to advance the fusion LM
+    through its own KV cache one token per step (every unfinished beam grows
+    by exactly one token per step, so a uniform write position is exact);
+    `lm_apply` remains as the full-prefix fallback for other scorers.
     """
     bs = feats.shape[0]
     k, w = beam_width, ctc_beam
@@ -492,6 +499,9 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
     lmax = max_steps + 1
     cross_kvs, cache0 = model.apply(params, enc_flat, n, lmax,
                                     method="init_decode_state")
+    use_cached_lm = lm_model is not None and lm_weight > 0
+    lm_cache0 = lm_model.apply(lm_params, n, lmax,
+                               method="init_cache") if use_cached_lm else None
 
     ys0 = jnp.full((bs, k, lmax), blank, jnp.int32).at[:, :, 0].set(sos)
     state = BeamState(
@@ -504,7 +514,7 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
     )
 
     def step(i, carry):
-        state, cache = carry
+        state, cache, lm_cache = carry
         last_tok = jnp.take_along_axis(
             state.ys.reshape(n, lmax),
             jnp.clip(state.lengths.reshape(n) - 1, 0, lmax - 1)[:, None],
@@ -513,7 +523,13 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
             params, last_tok, i, cache, cross_kvs, mask_flat, temperature,
             method="decoder_step")
 
-        if lm_apply is not None and lm_weight > 0:
+        if use_cached_lm:
+            # every unfinished beam's prefix has exactly i+1 tokens at step
+            # i, so a shared write position is exact; finished beams' scores
+            # are discarded below anyway
+            lm_logp, lm_cache = lm_model.apply(lm_params, last_tok, lm_cache,
+                                               i, method="score_step")
+        elif lm_apply is not None and lm_weight > 0:
             lm_full = lm_apply(lm_params, state.ys.reshape(n, lmax))
             lm_logp = jnp.take_along_axis(
                 lm_full, (state.lengths.reshape(n) - 1)[:, None, None]
@@ -582,6 +598,8 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
             return ck.reshape(n, *c.shape[1:])
 
         cache = jax.tree_util.tree_map(reorder, cache)
+        if use_cached_lm:
+            lm_cache = jax.tree_util.tree_map(reorder, lm_cache)
 
         if use_ctc:
             r_new = r_new.reshape(bs, k, wdim, tmax, 2)
@@ -602,9 +620,10 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
             ctc_r, new_cs = state.ctc_r, state.ctc_score
 
         return (BeamState(ys, new_scores, new_lengths, new_finished,
-                          ctc_r, new_cs), cache)
+                          ctc_r, new_cs), cache, lm_cache)
 
-    state, _ = jax.lax.fori_loop(0, max_steps, step, (state, cache0))
+    state, _, _ = jax.lax.fori_loop(0, max_steps, step,
+                                    (state, cache0, lm_cache0))
 
     final_key = state.scores + length_penalty * \
         (state.lengths.astype(state.scores.dtype) - 1)
