@@ -44,6 +44,9 @@ class Wav2vec2(nn.Module):
     mask_prob: float = 0.65
     mask_length: int = 10
     num_negatives: int = 100
+    # negative-sampling variants (reference: wav2vec_model.py:141-172)
+    negatives_from_everywhere: bool = False
+    codebook_negatives: int = 0
     logit_temp: float = 0.1
     final_dim: int = 256
     quantize_targets: bool = True
@@ -124,17 +127,43 @@ class Wav2vec2(nn.Module):
                                   deterministic=deterministic)
 
         out = {"mask_indices": mask_idx}
+        neg_rng = self.make_rng("negatives")
         if self.quantizer is not None:
-            q = self.quantizer(y, num_updates, train=not deterministic)
-            y_t = self.project_q(q["x"])
+            if self.negatives_from_everywhere:
+                # quantize ALL frames; negatives drawn from the full
+                # sequence, positives gathered at the masked positions
+                # (reference: wav2vec_model.py:141-152)
+                q = self.quantizer(unmasked, num_updates,
+                                   train=not deterministic)
+                y_full = self.project_q(q["x"])  # (B, T, D)
+                y_t, _ = gather_fixed_count(y_full, mask_idx, m_count)
+                negs = sample_negatives(neg_rng, y_t, self.num_negatives,
+                                        pool=y_full)
+            else:
+                q = self.quantizer(y, num_updates, train=not deterministic)
+                y_t = self.project_q(q["x"])
+                negs = sample_negatives(neg_rng, y_t, self.num_negatives)
             out.update(prob_perplexity=q["prob_perplexity"],
                        code_perplexity=q["code_perplexity"],
                        num_vars=q["num_vars"], temp=q["temp"])
+            if self.codebook_negatives > 0:
+                # extra negatives drawn uniformly from the codebook
+                # (reference: wav2vec_model.py:163-168)
+                cb_rng = self.make_rng("codebook")
+                bsz, msz = y_t.shape[0], y_t.shape[1]
+                cb = self.quantizer.sample_from_codebook(
+                    cb_rng, bsz * msz, self.codebook_negatives)
+                cb = cb.reshape(bsz, msz, self.codebook_negatives, -1) \
+                    .transpose(2, 0, 1, 3)  # (K, B, M, vq_dim)
+                negs = jnp.concatenate([negs, self.project_q(cb)], axis=0)
         else:
-            y_t = self.project_q(y)
-
-        neg_rng = self.make_rng("negatives")
-        negs = sample_negatives(neg_rng, y_t, self.num_negatives)
+            if self.negatives_from_everywhere:
+                negs = self.project_q(sample_negatives(
+                    neg_rng, y, self.num_negatives, pool=unmasked))
+                y_t = self.project_q(y)
+            else:
+                y_t = self.project_q(y)
+                negs = sample_negatives(neg_rng, y_t, self.num_negatives)
 
         xm, _ = gather_fixed_count(enc_out, mask_idx, m_count)
         xp = self.final_proj(xm)
@@ -179,6 +208,9 @@ def make_model(input_size: int, args) -> Wav2vec2:
         mask_prob=getattr(args, "mask_prob", 0.65),
         mask_length=getattr(args, "mask_length", 10),
         num_negatives=getattr(args, "num_negatives", 100),
+        negatives_from_everywhere=getattr(args, "negatives_from_everywhere",
+                                          False),
+        codebook_negatives=getattr(args, "codebook_negatives", 0),
         logit_temp=getattr(args, "logit_temp", 0.1),
         final_dim=getattr(args, "final_dim", 256),
         quantize_targets=getattr(args, "quantize_targets", True),

@@ -23,27 +23,35 @@ class GumbelVectorQuantizer(nn.Module):
     weight_proj_depth: int = 1
     weight_proj_factor: int = 1
 
-    @nn.compact
+    def setup(self):
+        var_dim = self.vq_dim // self.groups
+        self.codebook = self.param(
+            "vars", nn.initializers.uniform(scale=1.0),
+            (1, self.groups * self.num_vars, var_dim))
+        if self.weight_proj_depth > 1:
+            inner = self.dim * self.weight_proj_factor
+            self.projs = [nn.Dense(inner, name=f"proj{i}")
+                          for i in range(self.weight_proj_depth - 1)]
+            self.proj_out = nn.Dense(self.groups * self.num_vars,
+                                     name="proj_out")
+        else:
+            self.projs = []
+            self.proj_out = nn.Dense(
+                self.num_vars * self.groups,
+                kernel_init=nn.initializers.normal(1.0),
+                bias_init=nn.initializers.zeros, name="proj_out")
+
     def __call__(self, x, num_updates, train: bool = True):
         """x: (B, T, C) -> dict(x=(B,T,vq_dim) quantized, prob_perplexity,
         code_perplexity, num_vars, temp)."""
         b, t, _ = x.shape
         var_dim = self.vq_dim // self.groups
-        codebook = self.param(
-            "vars", nn.initializers.uniform(scale=1.0),
-            (1, self.groups * self.num_vars, var_dim))
+        codebook = self.codebook
 
         h = x
-        if self.weight_proj_depth > 1:
-            inner = self.dim * self.weight_proj_factor
-            for i in range(self.weight_proj_depth - 1):
-                h = nn.gelu(nn.Dense(inner, name=f"proj{i}")(h))
-            logits = nn.Dense(self.groups * self.num_vars, name="proj_out")(h)
-        else:
-            logits = nn.Dense(
-                self.num_vars * self.groups,
-                kernel_init=nn.initializers.normal(1.0),
-                bias_init=nn.initializers.zeros, name="proj_out")(h)
+        for proj in self.projs:
+            h = nn.gelu(proj(h))
+        logits = self.proj_out(h)
         logits = logits.reshape(b * t * self.groups, self.num_vars)
         logits = logits.astype(jnp.float32)
 
@@ -75,3 +83,18 @@ class GumbelVectorQuantizer(nn.Module):
         return {"x": q, "prob_perplexity": prob_ppl,
                 "code_perplexity": code_ppl,
                 "num_vars": self.num_vars * self.groups, "temp": temp}
+
+    def sample_from_codebook(self, rng, b: int, n: int):
+        """b*n uniformly random codebook combinations, (b, n, vq_dim).
+
+        The reference enumerates all num_vars^groups combinations and
+        samples combo indices (gumbel_vector_quantizer.py:118-129); sampling
+        each group's codeword index independently is the same distribution
+        without materializing the V^G table.
+        """
+        var_dim = self.vq_dim // self.groups
+        idx = jax.random.randint(rng, (b * n, self.groups), 0, self.num_vars)
+        cb = self.codebook.reshape(self.groups, self.num_vars, var_dim)
+        z = jnp.take_along_axis(
+            cb, idx.T[:, :, None], axis=1)          # (G, b*n, var_dim)
+        return z.transpose(1, 0, 2).reshape(b, n, self.vq_dim)

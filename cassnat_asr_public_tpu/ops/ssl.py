@@ -54,19 +54,25 @@ def gather_fixed_count(x: jnp.ndarray, mask: jnp.ndarray, count: int
 
 
 @partial(jax.jit, static_argnames=("n_negatives",))
-def sample_negatives(rng, y: jnp.ndarray, n_negatives: int) -> jnp.ndarray:
+def sample_negatives(rng, y: jnp.ndarray, n_negatives: int,
+                     pool: jnp.ndarray = None) -> jnp.ndarray:
     """Sample N negatives per target from the same utterance, excluding self.
 
-    y: (B, M, C) target features. Returns (N, B, M, C)
-    (reference: wav2vec_model.py:277-334).
+    y: (B, M, C) target features. `pool` (B, P, C) optionally provides the
+    sampling source (`negatives_from_everywhere`: all frames, not just the
+    masked ones); defaults to y itself. The reference excludes the
+    same-index pool entry in both modes. Returns (N, B, M, C)
+    (reference: wav2vec_model.py:277-334, from-everywhere at 141-152).
     """
+    pool = y if pool is None else pool
     b, m, c = y.shape
+    p = pool.shape[1]
     tszs = jnp.repeat(jnp.arange(m), n_negatives).reshape(1, -1)  # (1, M*N)
     neg = jax.random.randint(rng, (b, m * n_negatives), 0,
-                             max(m - 1, 1))
+                             max(p - 1, 1))
     neg = jnp.where(neg >= tszs, neg + 1, neg)  # skip self index
-    neg = jnp.clip(neg, 0, m - 1)
-    negs = jnp.take_along_axis(y, neg[..., None], axis=1)  # (B, M*N, C)
+    neg = jnp.clip(neg, 0, p - 1)
+    negs = jnp.take_along_axis(pool, neg[..., None], axis=1)  # (B, M*N, C)
     return negs.reshape(b, m, n_negatives, c).transpose(2, 0, 1, 3)
 
 

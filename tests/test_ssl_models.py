@@ -50,6 +50,64 @@ def test_wav2vec_forward(rng):
                for l in jax.tree_util.tree_leaves(g))
 
 
+def _w2v_out(rng, **over):
+    cfg = dict(model_type="transformer", N_enc=2, d_model=32, d_ff=64,
+               d_encff=48, n_head=4, dropout=0.0, enc_kernel_size=7,
+               enc_max_relative_len=4, pos_type="absolute", share_ff=False,
+               mask_prob=0.5, mask_length=3, num_negatives=8,
+               logit_temp=0.1, final_dim=16, quantize_targets=True,
+               latent_vars=12, latent_groups=2)
+    cfg.update(over)
+    model = make_wav2vec(20, Config(**cfg))
+    feats = jnp.asarray(rng.normal(size=(2, 48, 20)).astype(np.float32))
+    mask = jnp.ones((2, 48), bool)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "negatives": jax.random.PRNGKey(2),
+            "gumbel": jax.random.PRNGKey(3),
+            "dropout": jax.random.PRNGKey(4),
+            "codebook": jax.random.PRNGKey(5)}
+    params = model.init(rngs, feats, mask, 0, deterministic=False)
+    out = model.apply(params, feats, mask, 0, deterministic=False,
+                      rngs={k: v for k, v in rngs.items() if k != "params"})
+    return out
+
+
+def test_wav2vec_negatives_from_everywhere(rng):
+    """The from-everywhere variant samples negatives from all frames and
+    must change the contrastive loss (reference: wav2vec_model.py:141-152)."""
+    base = _w2v_out(rng)
+    few = _w2v_out(rng, negatives_from_everywhere=True)
+    assert np.isfinite(float(few["loss"]))
+    assert abs(float(few["contrastive_loss"])
+               - float(base["contrastive_loss"])) > 1e-7
+
+
+def test_wav2vec_codebook_negatives(rng):
+    """codebook_negatives adds K uniformly-sampled codebook entries to the
+    negative set (reference: wav2vec_model.py:163-168)."""
+    base = _w2v_out(rng)
+    cb = _w2v_out(rng, codebook_negatives=4)
+    assert np.isfinite(float(cb["loss"]))
+    assert abs(float(cb["contrastive_loss"])
+               - float(base["contrastive_loss"])) > 1e-7
+
+
+def test_codebook_sampler_shapes(rng):
+    from cassnat_asr_public_tpu.nn.gumbel_vq import GumbelVectorQuantizer
+    vq = GumbelVectorQuantizer(dim=32, num_vars=12, groups=2, vq_dim=16)
+    x = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+    params = vq.init({"params": jax.random.PRNGKey(0),
+                      "gumbel": jax.random.PRNGKey(1)}, x, 0)
+    z = vq.apply(params, jax.random.PRNGKey(2), 6, 4,
+                 method="sample_from_codebook")
+    assert z.shape == (6, 4, 16)
+    # every sampled row is a concatenation of two codebook vectors
+    cb = np.asarray(params["params"]["vars"]).reshape(2, 12, 8)
+    z0 = np.asarray(z)[0, 0]
+    assert any(np.allclose(z0[:8], cb[0, v]) for v in range(12))
+    assert any(np.allclose(z0[8:], cb[1, v]) for v in range(12))
+
+
 def hubert_tiny_args():
     return Config(vocab_size=VOCAB, encoder_embed_dim=32, encoder_layers=2,
                   encoder_attention_heads=4, encoder_ffn_embed_dim=64,
