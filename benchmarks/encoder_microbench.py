@@ -13,7 +13,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, n_inner=20, reps=3):
+def timed(fn, *args, n_inner=100, reps=3):
     import jax
     import jax.numpy as jnp
 
@@ -57,45 +57,46 @@ def main():
     pe_params = relpe.init(rng, x)
     _, pos = relpe.apply(pe_params, x)
 
+    def perturb(key, a):
+        # key-dependent input so XLA cannot hoist the body out of the loop
+        return a + (jax.random.uniform(key, (), a.dtype) * 1e-6)
+
     mods = {}
     rel = RelMultiHeadedAttention(H, D, 0.0, compute_dtype=dt)
     p_rel = rel.init(rng, x, x, x, mask, pos)
     mods["rel_mha"] = (lambda k, p, a, m, pe_:
-                       rel.apply(p, a + 0e-6, a, a, m, pe_)
+                       rel.apply(p, perturb(k, a), a, a, m, pe_)
                        .astype(jnp.float32).sum(), (p_rel, x, mask, pos))
 
     mha = MultiHeadedAttention(H, D, 0.0, compute_dtype=dt)
     p_mha = mha.init(rng, x, x, x, mask)
     mods["plain_mha"] = (lambda k, p, a, m:
-                         mha.apply(p, a, a, a, m)
+                         mha.apply(p, perturb(k, a), a, a, m)
                          .astype(jnp.float32).sum(), (p_mha, x, mask))
 
     conv = ConvModule(D, 31, compute_dtype=dt)
     p_conv = conv.init(rng, x)
-    mods["conv_module_k31"] = (lambda k, p, a: conv.apply(p, a)
+    mods["conv_module_k31"] = (lambda k, p, a: conv.apply(p, perturb(k, a))
                                .astype(jnp.float32).sum(), (p_conv, x))
 
     ff = PositionwiseFeedForward(D, DF, 0.0, activation=swish,
                                  compute_dtype=dt)
     p_ff = ff.init(rng, x)
-    mods["ffn_1024"] = (lambda k, p, a: ff.apply(p, a)
+    mods["ffn_1024"] = (lambda k, p, a: ff.apply(p, perturb(k, a))
                         .astype(jnp.float32).sum(), (p_ff, x))
 
     ln = LayerNorm()
     p_ln = ln.init(rng, x)
-    mods["layernorm_ref"] = (lambda k, p, a: ln.apply(p, a)
+    mods["layernorm_ref"] = (lambda k, p, a: ln.apply(p, perturb(k, a))
                              .astype(jnp.float32).sum(), (p_ln, x))
 
     ln2 = nn.LayerNorm()
     p_ln2 = ln2.init(rng, x)
-    mods["layernorm_flax"] = (lambda k, p, a: ln2.apply(p, a)
+    mods["layernorm_flax"] = (lambda k, p, a: ln2.apply(p, perturb(k, a))
                               .astype(jnp.float32).sum(), (p_ln2, x))
 
     for name, (fn, args) in mods.items():
-        def wrapped(key, *a, _fn=fn):
-            # perturb via key-dependent scalar to defeat caching
-            return _fn(key, *a)
-        dt_s = timed(wrapped, *args)
+        dt_s = timed(fn, *args)
         print(f"{name:18s} {dt_s*1e3:7.3f} ms  x12={dt_s*12e3:7.2f} ms")
 
 

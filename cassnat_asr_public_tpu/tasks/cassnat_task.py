@@ -254,24 +254,30 @@ class CassNATTask(BaseTask):
         """
         from cassnat_asr_public_tpu.ops.ctc import ctc_viterbi_align
         from cassnat_asr_public_tpu.utils.decoding import (
-            ctc_frame_beam_decode, _repeat_batch)
+            ctc_frame_beam_decode_jit, _repeat_batch)
         import jax.numpy as jnp
         enc_h, enc_mask, ctc_out = self.model.apply(
             self.state.params, feats, mask, method="encode_ctc")
-        feat_sizes = np.asarray(enc_mask.sum(-1))
-        nbest = ctc_frame_beam_decode(
-            np.asarray(ctc_out), feat_sizes, beam_width=sample_num,
-            pruning_size=getattr(args, "ctc_pruning", 10) or 10,
-            return_nbest=sample_num)
+        beam = ctc_frame_beam_decode_jit(
+            ctc_out, enc_mask.sum(-1), beam_width=sample_num,
+            pruning_size=getattr(args, "ctc_pruning", 10) or 10)
         bs = feats.shape[0]
-        flat = [h for utt in nbest for h in utt]  # (B*S,) hypothesis lists
-        umax = max(max((len(h) for h in flat), default=1) + 1, 8)
-        labels = np.zeros((bs * sample_num, umax - 1), np.int32)
-        lsizes = np.zeros((bs * sample_num,), np.int32)
-        for i, h in enumerate(flat):
-            labels[i, :len(h)] = h[:umax - 1]
-            lsizes[i] = min(len(h), umax - 1)
-        lsizes = np.maximum(lsizes, 1)
+        toks = np.asarray(beam["tokens"])      # (B, S, T)
+        lens = np.asarray(beam["lengths"])     # (B, S)
+        # dead beam slots (len 0): reuse the best hypothesis, matching the
+        # host version's n-best padding
+        best = toks[:, :1], lens[:, :1]
+        empty = lens == 0
+        lens = np.where(empty, np.broadcast_to(best[1], lens.shape), lens)
+        toks = np.where(empty[..., None], np.broadcast_to(
+            best[0], toks.shape), toks)
+        umax = max(int(lens.max()) + 1, 8)
+        labels = toks[:, :, :umax - 1].reshape(bs * sample_num, -1)
+        if labels.shape[1] < umax - 1:
+            labels = np.pad(labels,
+                            ((0, 0), (0, umax - 1 - labels.shape[1])))
+        lsizes = np.maximum(np.minimum(lens, umax - 1), 1) \
+            .reshape(bs * sample_num)
         ctc_rep = jnp.repeat(ctc_out, sample_num, axis=0)
         mask_rep = jnp.repeat(enc_mask, sample_num, axis=0)
         shift, _ = ctc_viterbi_align(

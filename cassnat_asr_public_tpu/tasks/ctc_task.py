@@ -74,13 +74,28 @@ class CTCTask(BaseTask):
             else:  # beam
                 _, enc_mask, ctc_out = self.model.apply(
                     self.state.params, feats, mask, method="encode_ctc")
-                feat_sizes = np.asarray(enc_mask.sum(-1))
-                hyps = ctc_frame_beam_decode(
-                    np.asarray(ctc_out), feat_sizes,
-                    beam_width=getattr(args, "ctc_beam", 10),
-                    pruning_size=getattr(args, "ctc_pruning", 10) or 10,
-                    lm_weight=getattr(args, "ctc_lm_weight", 0.0),
-                    length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
+                lm_w = getattr(args, "ctc_lm_weight", 0.0)
+                if lm_w > 0:
+                    # host fallback: per-step LM queries are host-side
+                    feat_sizes = np.asarray(enc_mask.sum(-1))
+                    hyps = ctc_frame_beam_decode(
+                        np.asarray(ctc_out), feat_sizes,
+                        beam_width=getattr(args, "ctc_beam", 10),
+                        pruning_size=getattr(args, "ctc_pruning", 10) or 10,
+                        lm_weight=lm_w,
+                        length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
+                else:
+                    from cassnat_asr_public_tpu.utils.decoding import \
+                        ctc_frame_beam_decode_jit
+                    out = ctc_frame_beam_decode_jit(
+                        ctc_out, enc_mask.sum(-1),
+                        beam_width=getattr(args, "ctc_beam", 10),
+                        pruning_size=getattr(args, "ctc_pruning", 10) or 10,
+                        length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
+                    toks = np.asarray(out["tokens"])
+                    lens = np.asarray(out["lengths"])
+                    hyps = [list(toks[i, 0, :lens[i, 0]])
+                            for i in range(toks.shape[0])]
             for i, utt in enumerate(batch["utts"]):
                 results[utt] = self.vocab.decode(
                     [int(t) for t in hyps[i] if t > 2])

@@ -644,6 +644,153 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("beam_width", "pruning_size", "blank",
+                                   "length_penalty", "blank_skip"))
+def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
+                              pruning_size: int = 10, blank: int = 0,
+                              length_penalty: float = 0.0,
+                              blank_skip: float = 0.95):
+    """Device-side frame-synchronous CTC beam search: fixed beam K, one
+    `lax.scan` over frames, prefix-merging via rolling-hash equality.
+
+    Same semantics as the host `ctc_frame_beam_decode` without LM fusion
+    (reference: src/utils/beam_decode.py:8-93, incl. the blank-skip
+    shortcut): per frame each hypothesis spawns a 'stay' candidate
+    (blank / repeat-last) and `pruning_size` extension candidates; equal
+    prefixes from different parents are merged by logaddexp before top-K
+    pruning. Prefix identity uses two independent 32-bit rolling hashes
+    plus the length — a collision needs both 32-bit hashes AND the length
+    to agree, which is negligible at beam sizes.
+
+    ctc_out: (B, T, V) log-probs; feat_sizes: (B,). Returns dict with
+    tokens (B, K, T) n-best token arrays (best first), lengths (B, K),
+    scores (B, K).
+    """
+    bs, tmax, vocab = ctc_out.shape
+    k, p = beam_width, min(pruning_size, vocab)
+    n = k * (p + 1)
+    M1, M2 = jnp.uint32(2654435761), jnp.uint32(40503)
+
+    hyps0 = jnp.zeros((bs, k, tmax), jnp.int32)
+    # beams > 0 start invalid: negative distinct lens so they never merge
+    # with (or shadow) real hypotheses
+    lens0 = jnp.broadcast_to(-jnp.arange(k, dtype=jnp.int32)[None], (bs, k))
+    pb0 = jnp.full((bs, k), LOG_ZERO).at[:, 0].set(0.0)
+    pnb0 = jnp.full((bs, k), LOG_ZERO)
+    h10 = jnp.zeros((bs, k), jnp.uint32)
+    h20 = jnp.zeros((bs, k), jnp.uint32)
+
+    def step(carry, t):
+        hyps, lens, pb, pnb, h1, h2 = carry
+        logp_t = ctc_out[:, t]                      # (B, V)
+        active = (t < feat_sizes)                   # (B,)
+        p_blank = logp_t[:, blank]                  # (B,)
+        skip = jnp.exp(p_blank) > blank_skip
+        topv, topi = jax.lax.top_k(logp_t, p)       # (B, P)
+
+        valid_len = jnp.maximum(lens, 0)
+        last = jnp.take_along_axis(
+            hyps, jnp.maximum(valid_len - 1, 0)[..., None], axis=2)[..., 0]
+        p_last = jnp.take_along_axis(logp_t[:, None, :].repeat(k, 1),
+                                     last[..., None], axis=2)[..., 0]
+        ptot = jnp.logaddexp(pb, pnb)               # (B, K)
+
+        # stay candidates (hyp unchanged)
+        stay_pb = ptot + p_blank[:, None]
+        stay_pnb = jnp.where((lens > 0) & ~skip[:, None],
+                             pnb + p_last, LOG_ZERO)
+
+        # extension candidates (B, K, P)
+        c = jnp.broadcast_to(topi[:, None, :], (bs, k, p))
+        p_c = jnp.broadcast_to(topv[:, None, :], (bs, k, p))
+        same = (c == last[..., None]) & (lens > 0)[..., None]
+        ext_pnb = jnp.where(same, pb[..., None] + p_c,
+                            ptot[..., None] + p_c)
+        # invalid extensions: blank token, skip frames, dead parents
+        bad = (c == blank) | skip[:, None, None] | (lens < 0)[..., None]
+        ext_pnb = jnp.where(bad, LOG_ZERO, ext_pnb)
+        ext_pb = jnp.full_like(ext_pnb, LOG_ZERO)
+
+        # candidate flattening: slot 0 per beam = stay, slots 1..P = extend
+        cand_pb = jnp.concatenate([stay_pb[..., None], ext_pb], -1) \
+            .reshape(bs, n)
+        cand_pnb = jnp.concatenate([stay_pnb[..., None], ext_pnb], -1) \
+            .reshape(bs, n)
+        is_ext = jnp.concatenate(
+            [jnp.zeros((bs, k, 1), bool), ~bad], -1).reshape(bs, n)
+        tok = jnp.concatenate(
+            [jnp.zeros((bs, k, 1), jnp.int32), c], -1).reshape(bs, n)
+        parent = jnp.broadcast_to(jnp.arange(k)[None, :, None],
+                                  (bs, k, p + 1)).reshape(bs, n)
+
+        tu = tok.astype(jnp.uint32)
+        ch1 = jnp.where(is_ext, h1[:, :, None].repeat(p + 1, 2)
+                        .reshape(bs, n) * M1 + tu,
+                        h1[:, :, None].repeat(p + 1, 2).reshape(bs, n))
+        ch2 = jnp.where(is_ext, h2[:, :, None].repeat(p + 1, 2)
+                        .reshape(bs, n) * M2 + tu + jnp.uint32(1),
+                        h2[:, :, None].repeat(p + 1, 2).reshape(bs, n))
+        clen = jnp.where(
+            is_ext,
+            (lens[:, :, None].repeat(p + 1, 2).reshape(bs, n) + 1),
+            lens[:, :, None].repeat(p + 1, 2).reshape(bs, n))
+
+        # prefix merge: logsumexp over identical (h1, h2, len) candidates,
+        # then keep only each group's first occurrence
+        eq = (ch1[:, :, None] == ch1[:, None, :]) & \
+             (ch2[:, :, None] == ch2[:, None, :]) & \
+             (clen[:, :, None] == clen[:, None, :])        # (B, N, N)
+        def merge(x):
+            big = jnp.where(eq, x[:, None, :], LOG_ZERO)
+            m = big.max(-1)
+            return m + jnp.log(jnp.sum(jnp.exp(big - m[..., None]),
+                                       axis=-1))
+        mpb = merge(cand_pb)
+        mpnb = merge(cand_pnb)
+        first = jnp.argmax(eq, axis=-1) == jnp.arange(n)[None, :]
+        score = jnp.logaddexp(mpb, mpnb) \
+            + length_penalty * clen.astype(jnp.float32)
+        score = jnp.where(first & (clen >= 0), score, 2 * LOG_ZERO)
+
+        top_s, top_i = jax.lax.top_k(score, k)               # (B, K)
+        sel = lambda x: jnp.take_along_axis(x, top_i, axis=1)
+        new_pb, new_pnb = sel(mpb), sel(mpnb)
+        new_h1, new_h2 = sel(ch1), sel(ch2)
+        new_len, new_tok = sel(clen), sel(tok)
+        new_ext, new_parent = sel(is_ext), sel(parent)
+
+        new_hyps = jnp.take_along_axis(hyps, new_parent[..., None], axis=1)
+        write = (jnp.arange(tmax)[None, None, :] ==
+                 jnp.maximum(new_len - 1, 0)[..., None]) & \
+            new_ext[..., None]
+        new_hyps = jnp.where(write, new_tok[..., None], new_hyps)
+
+        # dead slots (score = 2*LOG_ZERO) keep distinct negative lens so
+        # they can never merge into a real group later
+        dead = top_s <= 1.5 * LOG_ZERO
+        new_len = jnp.where(dead, -jnp.arange(k, dtype=jnp.int32)[None] - 1,
+                            new_len)
+
+        out = (jnp.where(active[:, None, None], new_hyps, hyps),
+               jnp.where(active[:, None], new_len, lens),
+               jnp.where(active[:, None], new_pb, pb),
+               jnp.where(active[:, None], new_pnb, pnb),
+               jnp.where(active[:, None], new_h1, h1),
+               jnp.where(active[:, None], new_h2, h2))
+        return out, None
+
+    (hyps, lens, pb, pnb, _, _), _ = jax.lax.scan(
+        step, (hyps0, lens0, pb0, pnb0, h10, h20), jnp.arange(tmax))
+
+    final = jnp.logaddexp(pb, pnb)
+    final = jnp.where(lens >= 0, final, 2 * LOG_ZERO)
+    order = jnp.argsort(-final, axis=1)
+    tokens = jnp.take_along_axis(hyps, order[..., None], axis=1)
+    lengths = jnp.maximum(jnp.take_along_axis(lens, order, axis=1), 0)
+    scores = jnp.take_along_axis(final, order, axis=1)
+    return {"tokens": tokens, "lengths": lengths, "scores": scores}
+
+
 def ctc_frame_beam_decode(ctc_out: np.ndarray, feat_sizes: np.ndarray,
                           beam_width: int = 10, pruning_size: int = 10,
                           blank: int = 0, lm_score_fn=None,
