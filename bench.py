@@ -56,7 +56,7 @@ def main():
     secs = 7.4               # LibriSpeech test-clean mean utterance length
     frames = 736             # 7.36 s at 10 ms frame shift
     umax = 192               # max output tokens incl. eos slot
-    n_inner = 10             # decode iterations per dispatch
+    n_inner = 20             # decode iterations per dispatch
 
     rng = jax.random.PRNGKey(0)
     base = jax.random.normal(rng, (batch, frames, input_size), jnp.float32)
@@ -94,12 +94,70 @@ def main():
     audio_seconds = batch * secs
     rtf = dt / audio_seconds
     baseline_rtf = 0.011  # reference README.md:33
+
+    # ---- ESA parity config (the WER-bearing decode):
+    # sample_num=50 sampled alignments + 16-layer transformer-LM ranking
+    # (reference: egs/librispeech/conf/cassnat_decode.yaml:36-56 + lm.yaml;
+    # reference cassnat.py:441-573). Smaller utterance batch: the decoder
+    # batch is batch*sample_num.
+    from cassnat_asr_public_tpu.models.lm import TransformerLM
+
+    esa_batch, sample_num = 8, 50
+    lm = TransformerLM(4999, n_layers=16, d_model=512, d_ff=2048, n_head=8,
+                       dropout=0.0, compute_dtype=jnp.bfloat16)
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 8), jnp.int32))
+    base_esa = base[:esa_batch]
+    mask_esa = mask[:esa_batch]
+
+    @jax.jit
+    def loop_esa(params, lm_params, base, key):
+        def body(i, acc):
+            f = base + jax.random.normal(
+                jax.random.fold_in(key, i), base.shape) * 1e-6
+            enc_h, enc_mask, ctc_out = model.apply(
+                params, f, mask_esa, method="encode_ctc")
+            rep = lambda x: jnp.repeat(x, sample_num, axis=0)
+            enc_r, mask_r, ctc_r = rep(enc_h), rep(enc_mask), rep(ctc_out)
+            shift, ylen0 = ctc_best_path_align(
+                ctc_r, mask_r, sample_num=sample_num, threshold=0.9,
+                rng=jax.random.fold_in(key, 1000 + i))
+            att_out, ylen = model.apply(params, enc_r, mask_r, shift,
+                                        ylen0, umax, method="nat_decode")
+            att_pred = att_out.argmax(-1)
+            # LM ranking (reference: cassnat.py:499-535)
+            sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
+            lm_out = lm.apply(lm_params,
+                              jnp.concatenate([sos, att_pred[:, :-1]], 1))
+            tok_scores = jnp.take_along_axis(
+                lm_out, att_pred[..., None], axis=-1)[..., 0]
+            slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
+            tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
+            cand = tok_scores.sum(-1) / jnp.maximum(slot_valid.sum(-1), 1)
+            best = cand.reshape(esa_batch, sample_num).argmax(-1)
+            sel = att_pred.reshape(esa_batch, sample_num, umax)[
+                jnp.arange(esa_batch), best]
+            return acc + sel.sum()
+        return jax.lax.fori_loop(0, 3, body, jnp.zeros((), jnp.int32))
+
+    np.asarray(loop_esa(params, lm_params, base_esa, jax.random.PRNGKey(98)))
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        np.asarray(loop_esa(params, lm_params, base_esa,
+                            jax.random.PRNGKey(10 + i)))
+        times.append(time.perf_counter() - t0)
+    esa_rtf = (float(np.median(times)) / 3) / (esa_batch * secs)
+
     print(json.dumps({
         "metric": "nast_batched_decode_rtf",
         "value": round(rtf, 6),
         "unit": "rtf (decode_s/audio_s), batch=32, conformer-CASSNAT d512, "
                 "steady-state device loop",
         "vs_baseline": round(baseline_rtf / rtf, 2),
+        "esa_rtf": round(esa_rtf, 6),
+        "esa_vs_baseline": round(baseline_rtf / esa_rtf, 2),
+        "esa_unit": "rtf, ESA parity config: sample_num=50 thr=0.9 + "
+                    "16L transformer-LM ranking, batch=8",
     }))
 
 

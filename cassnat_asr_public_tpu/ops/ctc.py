@@ -128,6 +128,26 @@ def ctc_loss(log_probs, labels, input_lengths, label_lengths, blank=0,
     return (nll / denom).mean()
 
 
+# Pallas Viterbi dispatch: the kernel (kernels/ctc_viterbi.py) keeps the
+# alpha DP in VMEM and measured ~10% faster than the scan on-chip; it is the
+# default on TPU for the recipe-default sample_topk<=1 path (sampled
+# alignments need per-frame randomness the kernel does not implement — those
+# fall back to the scan). None = auto (TPU only), True/False = forced.
+_PALLAS_VITERBI = None
+
+
+def enable_pallas_viterbi(on):
+    """Force the Pallas Viterbi kernel on/off (None = auto: TPU only)."""
+    global _PALLAS_VITERBI
+    _PALLAS_VITERBI = on
+
+
+def _pallas_viterbi_enabled() -> bool:
+    if _PALLAS_VITERBI is not None:
+        return _PALLAS_VITERBI
+    return jax.default_backend() == "tpu"
+
+
 def ctc_viterbi_align(log_probs, labels, input_lengths, label_lengths, blank=0,
                       sample_topk=0, rng=None):
     """Batched CTC Viterbi (forced) alignment with jittable backtrace.
@@ -149,6 +169,11 @@ def ctc_viterbi_align(log_probs, labels, input_lengths, label_lengths, blank=0,
         it to `align_to_trigger_mask` reproduces the trigger mask.
       states: (B, T) int32 — the aligned path-state index per frame (debug).
     """
+    if sample_topk <= 1 and _pallas_viterbi_enabled():
+        from cassnat_asr_public_tpu.kernels.ctc_viterbi import \
+            ctc_viterbi_align_pallas
+        return ctc_viterbi_align_pallas(log_probs, labels, input_lengths,
+                                        label_lengths, blank=blank)
     log_probs = log_probs.astype(jnp.float32)
     # Mask frames beyond input_lengths to logzero except we never read them.
     path = _interleave_blanks(labels, blank)
