@@ -62,7 +62,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, multi_host: Optional[bool] = None
+                ) -> dict:
     """Device-put numpy batch arrays with batch-dim sharding.
 
     Scalars (0-d) are replicated — used for runtime knobs like the
@@ -76,7 +77,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
-    multi_host = jax.process_count() > 1
+    if multi_host is None:
+        multi_host = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) or np.isscalar(v):
