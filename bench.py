@@ -20,14 +20,31 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+
+
+def note(msg):
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the ESA-config graph is large; cache it
+    # so repeated driver runs skip the multi-minute compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from cassnat_asr_public_tpu.models import make_cassnat
     from cassnat_asr_public_tpu.nn.modules import enable_flash_attention
@@ -82,7 +99,9 @@ def main():
         return jax.lax.fori_loop(0, n_inner, body, jnp.zeros((), jnp.int32))
 
     # compile + warmup
+    note("compiling NAST decode loop")
     np.asarray(loop_decode(params, base, jax.random.PRNGKey(99)))
+    note("NAST decode compiled")
 
     times = []
     for i in range(3):
@@ -139,7 +158,9 @@ def main():
             return acc + sel.sum()
         return jax.lax.fori_loop(0, 3, body, jnp.zeros((), jnp.int32))
 
+    note("compiling ESA parity loop")
     np.asarray(loop_esa(params, lm_params, base_esa, jax.random.PRNGKey(98)))
+    note("ESA loop compiled")
     times = []
     for i in range(2):
         t0 = time.perf_counter()

@@ -20,3 +20,20 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: compiles through the remote-TPU tunnel
+# in this harness are slow and high-variance (observed 20s-8min for the same
+# module), so cache aggressively by default. Opt out / redirect with
+# CASSNAT_COMPILATION_CACHE=off|<dir>.
+import os as _os
+
+_cache = _os.environ.get("CASSNAT_COMPILATION_CACHE", "/tmp/jax_comp_cache")
+if _cache != "off":
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:  # pragma: no cover - jax always present in practice
+        pass
+del _os

@@ -37,6 +37,25 @@ def enable_flash_attention(on: bool = True):
     _FLASH_ATTENTION = on
 
 
+# Fused Pallas conv frontend (kernels/fused_frontend.py): keeps the conv1
+# intermediate out of HBM. Benchmark-gated OPT-IN, not a default: measured
+# 33 ms vs 12 ms for XLA's conv lowering at the production decode shape
+# (B=32 T=736 F=240 d=512 bf16, benchmarks/frontend_bench.py) — XLA's convs
+# already run near the MXU roofline there and the kernel's per-tile im2col
+# relayouts dominate. Forward-only (dispatches on deterministic calls).
+_FUSED_FRONTEND = False
+
+
+def enable_fused_frontend(on: bool = True):
+    """Force the fused Pallas conv frontend on/off (default off)."""
+    global _FUSED_FRONTEND
+    _FUSED_FRONTEND = on
+
+
+def _fused_frontend_enabled() -> bool:
+    return bool(_FUSED_FRONTEND)
+
+
 def flash_attention_enabled() -> bool:
     return _FLASH_ATTENTION
 
@@ -386,6 +405,20 @@ def conv3x3_s2_taps(x, kernel, bias):
     return (out + bias).astype(x.dtype)
 
 
+class _Conv2dParams(nn.Module):
+    """Bare conv kernel+bias params, laid out exactly as `nn.Conv` would
+    create them (HWIO kernel, lecun_normal init) so checkpoints and the
+    torch-import name maps are unaffected by the fused-kernel dispatch."""
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.kshape)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.kshape[-1],))
+        return k, b
+
+
 class ConvEmbedding(nn.Module):
     """2-layer strided Conv2d frontend: 4x time (and freq) downsample.
 
@@ -416,12 +449,29 @@ class ConvEmbedding(nn.Module):
                         dtype=self.compute_dtype, name="conv2")(h)
             h = nn.relu(h)
         else:
-            h = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding=1,
-                        dtype=self.compute_dtype, name="conv1")(h)
-            h = nn.relu(h)
-            h = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding=1,
-                        dtype=self.compute_dtype, name="conv2")(h)
-            h = nn.relu(h)
+            w1, b1 = _Conv2dParams((3, 3, 1, self.d_model), name="conv1")()
+            w2, b2 = _Conv2dParams((3, 3, self.d_model, self.d_model),
+                                   name="conv2")()
+            cd = self.compute_dtype
+            if (deterministic and _fused_frontend_enabled()
+                    and x.shape[2] % 4 == 0):
+                from cassnat_asr_public_tpu.kernels.fused_frontend import \
+                    fused_conv_frontend
+                from cassnat_asr_public_tpu.kernels.flash_attention import \
+                    default_interpret
+                h = fused_conv_frontend(
+                    x.astype(cd), w1, b1.astype(jnp.float32),
+                    w2, b2.astype(jnp.float32),
+                    interpret=default_interpret())
+            else:
+                h = jax.lax.conv_general_dilated(
+                    h, w1.astype(cd), (2, 2), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = nn.relu(h + b1.astype(cd))
+                h = jax.lax.conv_general_dilated(
+                    h, w2.astype(cd), (2, 2), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = nn.relu(h + b2.astype(cd))
         b, t, f, c = h.shape
         h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
         h = nn.Dense(self.d_model, dtype=self.compute_dtype,
