@@ -118,15 +118,22 @@ class CassNATTask(BaseTask):
 
     # ---- decoding (reference: cassnat_task.py:307-377) ----
     def load_lm_model(self, args):
-        """Rank model: 'lm' (transformer LM) or 'at_baseline' (AST model).
+        """Rank model: 'lm' (transformer LM), 'at_baseline' (AST model),
+        or 'n-gram' (ARPA word LM, host-side — the kenlm replacement).
 
-        (reference: cassnat_task.py:85-131; kenlm n-gram ranking is
-        config-gated out — no kenlm in this image.)
+        (reference: cassnat_task.py:85-131)
         lm_apply has the uniform signature (params, tokens, feats, src_mask).
         """
         rank_model = getattr(args, "rank_model", "none")
         from cassnat_asr_public_tpu.utils.config import merge_configs
-        if rank_model == "lm" and getattr(args, "lm_config", None):
+        if rank_model == "n-gram" and getattr(args, "rnnlm", None):
+            # reference: kenlm.Model(args.rnnlm) (cassnat_task.py:89-90);
+            # scored host-side on detokenized candidates.
+            from cassnat_asr_public_tpu.utils.ngram_lm import ArpaLM
+            self.lm_model = ArpaLM(args.rnnlm)
+            self.lm_params = None
+            self.lm_apply = None
+        elif rank_model == "lm" and getattr(args, "lm_config", None):
             lm_args = merge_configs(None, args.lm_config)
             lm_args.vocab_size = args.vocab_size
             self.lm_model = make_lm(lm_args)
@@ -214,12 +221,16 @@ class CassNATTask(BaseTask):
                     self.model, self.state.params, feats, mask, sub,
                     umax=umax, sample_num=sample_num,
                     threshold=getattr(args, "threshold", 0.9),
-                    rank_model=rank_model, lm_apply=lm_apply,
+                    rank_model=("host" if rank_model == "n-gram"
+                                else rank_model),
+                    lm_apply=lm_apply,
                     lm_params=self.lm_params,
                     beam_width=getattr(args, "beam_width", 1),
                     lm_model=fusion_lm,
                     lm_weight=getattr(args, "lm_weight", 0.0),
                     **self._decode_text_kwargs(feats, mask))
+                if "cand_tokens" in out:
+                    out = self._rank_ngram(out)
             if getattr(args, "test_hitrate", False):
                 hit_stats, diffs = self._hitrate_update(
                     batch, feats, mask, out, hit_stats, diffs)
@@ -237,6 +248,32 @@ class CassNATTask(BaseTask):
             for d in sorted(diffs):
                 print(f"utt2diff {d} {diffs[d]}", flush=True)
         return results, elapsed
+
+    def _rank_ngram(self, out):
+        """Rank ESA candidates by ARPA n-gram sentence score / length.
+
+        Mirrors reference cassnat.py:521-533: detokenize each candidate
+        (SP pieces joined, '▁' -> space), kenlm-style full-sentence log10
+        score, normalized by the slot count, argmax over sample_num.
+        """
+        cands = np.asarray(out["cand_tokens"])    # (B, S, U)
+        lens = np.asarray(out["cand_lengths"])    # (B, S)
+        bs, s, umax = cands.shape
+        best_tok = np.zeros((bs, umax), cands.dtype)
+        best_len = np.zeros((bs,), lens.dtype)
+        for i in range(bs):
+            scores = np.empty(s, np.float64)
+            for j in range(s):
+                pieces = self.vocab.decode(
+                    [t for t in cands[i, j, :lens[i, j]] if t > 2])
+                sent = "".join(pieces).replace("▁", " ").strip()
+                # tgt_len in the reference counts slots incl. the eos slot
+                scores[j] = self.lm_model.score(sent) / max(
+                    int(lens[i, j]) + 1, 1)
+            k = int(scores.argmax())
+            best_tok[i] = cands[i, k]
+            best_len[i] = lens[i, k]
+        return {"tokens": best_tok, "lengths": best_len}
 
     def _decode_text_kwargs(self, feats, mask):
         """Extra nat_decode_jit kwargs; LMNAT gpt2/bert flavors inject

@@ -114,6 +114,16 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
 
     if sample_num > 1:
+        if rank_model == "host":
+            # Host-side ranking (n-gram ARPA scorer): hand all candidates
+            # back; the task detokenizes and ranks them on host
+            # (reference: cassnat.py:521-533 scores kenlm on word strings).
+            return {
+                "cand_tokens": jnp.where(slot_valid, att_pred,
+                                         0).reshape(bs, sample_num, umax),
+                "cand_lengths": jnp.maximum(ylen - 1,
+                                            0).reshape(bs, sample_num),
+            }
         if rank_model in ("lm", "at_baseline"):
             sos = jnp.ones((n, 1), att_pred.dtype)
             lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
