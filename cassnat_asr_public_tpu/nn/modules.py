@@ -438,6 +438,22 @@ class _Conv2dParams(nn.Module):
         return k, b
 
 
+class _DenseParams(nn.Module):
+    """Bare dense kernel+bias params laid out as `nn.Dense` creates them
+    ((in, out) kernel, xavier_uniform init) — lets ConvEmbedding apply the
+    projection with a permuted weight view while keeping the param tree
+    checkpoint-identical."""
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       self.kshape)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.kshape[-1],))
+        return k, b
+
+
 class ConvEmbedding(nn.Module):
     """2-layer strided Conv2d frontend: 4x time (and freq) downsample.
 
@@ -492,10 +508,17 @@ class ConvEmbedding(nn.Module):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 h = nn.relu(h + b2.astype(cd))
         b, t, f, c = h.shape
-        h = h.transpose(0, 1, 3, 2).reshape(b, t, c * f)
-        h = nn.Dense(self.d_model, dtype=self.compute_dtype,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     name="linear_out")(h)
+        # The reference flattens channel-major (transpose(0,1,3,2) then
+        # reshape; embedding.py:118-121). Moving that transpose onto the
+        # (c*f, d) WEIGHT instead of the (B,T,c,f) activations is free —
+        # XLA folds the static weight permute into the GEMM — while the
+        # activation-side transpose moves hundreds of MB at decode shapes.
+        # Param layout stays exactly nn.Dense's (c*f, d) c-major kernel for
+        # checkpoint/torch-import parity.
+        wk, wb = _DenseParams((c * f, self.d_model), name="linear_out")()
+        wp = wk.reshape(c, f, self.d_model).transpose(1, 0, 2) \
+            .reshape(f * c, self.d_model)
+        h = h.reshape(b, t, f * c) @ wp.astype(h.dtype) + wb.astype(h.dtype)
         h = h * math.sqrt(self.d_model)
 
         new_mask = mask[:, ::2][:, ::2]
