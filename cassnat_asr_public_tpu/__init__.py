@@ -28,6 +28,11 @@ __version__ = "0.1.0"
 import os as _os
 
 _cache = _os.environ.get("CASSNAT_COMPILATION_CACHE", "/tmp/jax_comp_cache")
+# CPU-only processes (tests, the virtual-mesh dryrun) skip the cache: XLA:CPU
+# AOT results are machine-feature-pinned and reloading them across the
+# axon-pinned vs clean environments warns about potential SIGILL.
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    _cache = "off"
 if _cache != "off":
     try:
         import jax as _jax
