@@ -48,7 +48,8 @@ def main():
 
     from cassnat_asr_public_tpu.models import make_cassnat
     from cassnat_asr_public_tpu.nn.modules import enable_flash_attention
-    from cassnat_asr_public_tpu.ops.ctc import ctc_best_path_align
+    from cassnat_asr_public_tpu.ops.ctc import (ctc_best_path_align,
+                                                ctc_sampled_align)
     from cassnat_asr_public_tpu.utils.config import Config
 
     # A/B on-chip measured XLA's fused attention marginally faster than the
@@ -157,9 +158,9 @@ def main():
                 params, f, mask_esa, method="encode_ctc")
             ctc_out = ctc_out + boost
             rep = lambda x: jnp.repeat(x, sample_num, axis=0)
-            enc_r, mask_r, ctc_r = rep(enc_h), rep(enc_mask), rep(ctc_out)
-            shift, ylen0 = ctc_best_path_align(
-                ctc_r, mask_r, sample_num=sample_num, threshold=0.9,
+            enc_r, mask_r = rep(enc_h), rep(enc_mask)
+            shift, ylen0 = ctc_sampled_align(
+                ctc_out, enc_mask, sample_num, threshold=0.9,
                 rng=jax.random.fold_in(key, 1000 + i))
             att_out, ylen = model.apply(params, enc_r, mask_r, shift,
                                         ylen0, umax, method="nat_decode")

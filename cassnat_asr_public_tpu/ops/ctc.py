@@ -298,6 +298,42 @@ def ctc_best_path_align(log_probs, frame_mask, blank=0, sample_num=0,
     return aligned_seq_shift.astype(jnp.int32), ylen
 
 
+def ctc_sampled_align(log_probs, frame_mask, sample_num, threshold=0.9,
+                      include_best=True, rng=None, blank=0):
+    """ESA sampled alignments from UNEXPANDED (B, T, V) posteriors.
+
+    Same sampling rule as `ctc_best_path_align(sample_num>1)` (reference:
+    src/models/cassnat.py:367-389) but the per-frame top-2 reduction runs
+    BEFORE the sample_num-fold batch expansion, so only (B, T, 2) arrays are
+    replicated instead of the (B, T, V) tensor — at the librispeech ESA
+    config (B=16, S=50, V=5k f32) that skips a 2.9 GB repeat + expanded
+    top_k that measured 745 ms of the ~1 s decode iteration
+    (benchmarks/esa_stage_bench.py).
+
+    Returns (aligned_seq_shift (B*S, T) int32, ylen (B*S,)) — rows grouped
+    per utterance, row j=0 of each group the pure argmax path when
+    include_best.
+    """
+    bs, tmax, _ = log_probs.shape
+    n = bs * sample_num
+    top2v, top2i = jax.lax.top_k(log_probs, 2)        # (B, T, 2)
+    low_conf = jnp.exp(top2v[..., 0]) < threshold
+    top2i_r = jnp.repeat(top2i, sample_num, axis=0)
+    low_r = jnp.repeat(low_conf, sample_num, axis=0)
+    mask_r = jnp.repeat(frame_mask, sample_num, axis=0)
+    select = jax.random.randint(rng, (n, tmax), 0, 2)
+    select = jnp.where(low_r, select, 0)
+    if include_best:
+        is_best_row = (jnp.arange(n) % sample_num) == 0
+        select = jnp.where(is_best_row[:, None], 0, select)
+    best_paths = jnp.take_along_axis(top2i_r, select[..., None],
+                                     axis=2)[..., 0]
+    best_paths = jnp.where(mask_r, best_paths, blank)
+    aligned_seq_shift = _collapse_and_shift(best_paths, blank)
+    ylen = jnp.sum(aligned_seq_shift != blank, axis=1)
+    return aligned_seq_shift.astype(jnp.int32), ylen
+
+
 def align_to_trigger_mask(aligned_seq_shift, umax_plus1, frame_mask,
                           input_lengths, ylen, blank=0):
     """Trigger mask (B, U+1, T) from a shifted alignment.

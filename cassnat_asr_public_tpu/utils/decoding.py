@@ -81,22 +81,30 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     enc_h, enc_mask, ctc_out = model.apply(
         params, feats, src_mask, method="encode_ctc")
 
+    enc_mask_1x = enc_mask
     if sample_num > 1:
         enc_h = _repeat_batch(enc_h, sample_num)
         enc_mask = _repeat_batch(enc_mask, sample_num)
-        ctc_out = _repeat_batch(ctc_out, sample_num)
 
     if align == "oracle":
         from cassnat_asr_public_tpu.ops.ctc import ctc_viterbi_align
+        if sample_num > 1:
+            ctc_out = _repeat_batch(ctc_out, sample_num)
         shift, _ = ctc_viterbi_align(ctc_out, labels, enc_mask.sum(-1),
                                      label_sizes)
         ylen0 = label_sizes
     elif align == "external":
         shift, ylen0 = ext_shift, ext_ylen
+    elif sample_num > 1:
+        # sampled ESA alignments from the UNEXPANDED posteriors: only the
+        # per-frame top-2 is replicated sample_num-fold (the (B,T,V) repeat
+        # + expanded top_k measured 745 ms of the ~1 s ESA iteration;
+        # benchmarks/esa_stage_bench.py).
+        from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
+        shift, ylen0 = ctc_sampled_align(ctc_out, enc_mask_1x, sample_num,
+                                         threshold=threshold, rng=rng)
     else:
-        shift, ylen0 = ctc_best_path_align(
-            ctc_out, enc_mask, sample_num=sample_num, threshold=threshold,
-            rng=rng)
+        shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
     nat_kwargs = {}
     if text_input is not None:
         # host-retokenized text (LMNAT gpt2/bert flavors): one row per

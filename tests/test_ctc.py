@@ -193,6 +193,43 @@ def test_best_path_align_sampled_keeps_best_rows(rng):
     np.testing.assert_array_equal(np.asarray(shift_s)[3], np.asarray(shift_b)[3])
 
 
+def test_ctc_sampled_align_matches_expanded_path(rng):
+    """ctc_sampled_align (top-2 before expansion) == the pre-expanded
+    ctc_best_path_align semantics."""
+    from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
+    bs, tmax, vocab, s = 2, 12, 9, 4
+    logits = rng.normal(size=(bs, tmax, vocab)).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    mask = jnp.asarray(np.array([[True] * 12, [True] * 9 + [False] * 3]))
+    key = jax.random.PRNGKey(3)
+
+    # threshold=0: no frame is low-confidence -> every row is the pure
+    # argmax path of its utterance.
+    shift, ylen = ctc_sampled_align(lp, mask, s, threshold=0.0, rng=key)
+    shift_b, ylen_b = ctc_best_path_align(lp, mask)
+    assert shift.shape == (bs * s, tmax)
+    for i in range(bs):
+        for j in range(s):
+            np.testing.assert_array_equal(np.asarray(shift)[i * s + j],
+                                          np.asarray(shift_b)[i])
+    np.testing.assert_array_equal(np.asarray(ylen).reshape(bs, s)[:, 0],
+                                  np.asarray(ylen_b))
+
+    # threshold=2 (every frame low-confidence): include_best rows stay the
+    # argmax path; sampled rows only ever use per-frame top-2 symbols.
+    shift_s, _ = ctc_sampled_align(lp, mask, s, threshold=2.0, rng=key)
+    for i in range(bs):
+        np.testing.assert_array_equal(np.asarray(shift_s)[i * s],
+                                      np.asarray(shift_b)[i])
+    # every emitted token id must come from that utterance's per-frame
+    # top-2 set (the sampling universe).
+    top2 = np.asarray(jax.lax.top_k(lp, 2)[1])
+    for i in range(bs):
+        allowed = set(top2[i].ravel().tolist()) | {0}
+        emitted = set(np.asarray(shift_s)[i * s:(i + 1) * s].ravel().tolist())
+        assert emitted <= allowed
+
+
 def test_viterbi_sample_topk_runs(rng):
     log_probs, labels, in_lens, lab_lens = _random_batch(rng, bs=3, tmax=20, umax=5)
     shift, _ = ctc_viterbi_align(
