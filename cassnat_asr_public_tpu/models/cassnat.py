@@ -336,11 +336,12 @@ class CassNAT(nn.Module):
         return out
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
-                   umax_plus1: int):
+                   umax_plus1: int, return_logits: bool = False):
         """Decode-time NAT pass from a precomputed alignment.
 
         Returns (att_out (B,U+1,V), ylen (B,)). Used by ESA/greedy/oracle
-        decoding (reference: cassnat.py:420-497).
+        decoding (reference: cassnat.py:420-497). return_logits skips the
+        f32 log-softmax (argmax/confidence-only callers).
         """
         feat_sizes = enc_mask.sum(-1)
         trigger_mask = align_to_trigger_mask(
@@ -353,6 +354,8 @@ class CassNAT(nn.Module):
         dec_h, _, _, _ = self.nat_decode_states(
             enc_h, enc_mask, trigger_mask, ylen, umax_plus1,
             deterministic=True)
+        if return_logits:
+            return self.att_generator.logits(dec_h), ylen
         return self.att_generator(dec_h), ylen
 
 

@@ -248,7 +248,7 @@ class HubertNAT(nn.Module):
                 "feat_sizes": feat_sizes}
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
-                   umax_plus1: int):
+                   umax_plus1: int, return_logits: bool = False):
         feat_sizes = enc_mask.sum(-1)
         trig = align_to_trigger_mask(aligned_seq_shift, umax_plus1, enc_mask,
                                      feat_sizes, ylen0,
@@ -257,6 +257,8 @@ class HubertNAT(nn.Module):
                                    self.right_trigger) & enc_mask[:, None, :]
         dec_h = self._nat_states(enc_h, enc_mask, trig, ylen0 + 1,
                                  umax_plus1, True)
+        if return_logits:
+            return self.att_generator.logits(dec_h), ylen0 + 1
         return self.att_generator(dec_h), ylen0 + 1
 
 

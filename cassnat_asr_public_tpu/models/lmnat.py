@@ -250,7 +250,8 @@ class LMNAT(_LMNATBase):
         return out
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
-                   umax_plus1: int, text_input=None, text_mask=None):
+                   umax_plus1: int, text_input=None, text_mask=None,
+                   return_logits: bool = False):
         """Text-fused NAT decode from a precomputed alignment.
 
         (reference: lmnat.py:415-637 beam_decode — CTC alignment -> text
@@ -273,6 +274,8 @@ class LMNAT(_LMNATBase):
         src_mask_dec = trig if self.src_trigger else enc_mask[:, None, :]
         dec_h, _ = self.mad3(pred, enc_h, text_embed, src_mask_dec,
                              text_mask[:, None, :], tgt_mask_b1u)
+        if return_logits:
+            return self.att_generator.logits(dec_h), ylen
         return self.att_generator(dec_h), ylen
 
 
@@ -331,7 +334,8 @@ class LMNAT2(_LMNATBase):
         return out
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
-                   umax_plus1: int, text_input=None, text_mask=None):
+                   umax_plus1: int, text_input=None, text_mask=None,
+                   return_logits: bool = False):
         """Decode with text fused at the SAD stage (reference: lmnat2.py
         beam_decode — SAD is a mixed-attention stack over the text memory)."""
         trig, ylen, tgt_mask_b1u, queries = self._decode_common(
@@ -353,6 +357,8 @@ class LMNAT2(_LMNATBase):
                                     dec_pos)
         else:
             dec_h, _ = self.decoder(pred, enc_h, src_mask_dec, tgt_mask_b1u)
+        if return_logits:
+            return self.att_generator.logits(dec_h), ylen
         return self.att_generator(dec_h), ylen
 
 
@@ -454,7 +460,8 @@ class LMNAT3(_LMNATBase):
         return out
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
-                   umax_plus1: int, text_input=None, text_mask=None):
+                   umax_plus1: int, text_input=None, text_mask=None,
+                   return_logits: bool = False):
         """Decode with the text-encoder backbone as SAD, no span masking
         (reference: lmnat3.py beam_decode)."""
         del text_input, text_mask  # LMNAT3's SAD consumes embeddings, not text
@@ -472,6 +479,8 @@ class LMNAT3(_LMNATBase):
                                     dec_pos)
         else:
             dec_h, _ = self.decoder(pred, enc_h, src_mask_dec, tgt_mask_b1u)
+        if return_logits:
+            return self.att_generator.logits(dec_h), ylen
         return self.att_generator(dec_h), ylen
 
 

@@ -535,27 +535,31 @@ class ConvEmbedding(nn.Module):
 class Generator(nn.Module):
     """Linear + log-softmax head, optional pre-norm.
 
+    setup-style so decode paths can fetch raw `logits` without
+    materializing the f32 log-softmax over the full vocab — at ESA decode
+    shapes the (N, U, V) f32 normalize measured 8.4 ms of the NAT stage
+    (benchmarks/nat_microbench.py); argmax and per-token log-probs
+    (logit - logsumexp) need only the bf16 logits.
     (reference: src/models/transformer.py:40-52)
     """
     vocab_size: int
     add_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, temperature: float = 1.0):
+    def setup(self):
         if self.add_norm:
-            x = LayerNorm(name="norm")(x)
-        logits = nn.Dense(self.vocab_size, dtype=self.compute_dtype,
-                          kernel_init=nn.initializers.xavier_uniform(),
-                          name="proj")(x)
-        return jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+            self.norm = LayerNorm()
+        self.proj = nn.Dense(self.vocab_size, dtype=self.compute_dtype,
+                             kernel_init=nn.initializers.xavier_uniform())
+
+    def __call__(self, x, temperature: float = 1.0):
+        return jax.nn.log_softmax(
+            self.logits(x).astype(jnp.float32) / temperature, axis=-1)
 
     def logits(self, x):
         if self.add_norm:
-            x = LayerNorm(name="norm")(x)
-        return nn.Dense(self.vocab_size, dtype=self.compute_dtype,
-                        kernel_init=nn.initializers.xavier_uniform(),
-                        name="proj")(x)
+            x = self.norm(x)
+        return self.proj(x)
 
 
 class StatsPooling(nn.Module):
