@@ -270,37 +270,24 @@ class MultiHeadedAttention(nn.Module):
                  deterministic: bool = True):
         del pos_embed
         h, dk = self.n_head, self.d_model // self.n_head
-        # heads stay in (B, T, H, Dk) layout — the einsums carry the head
-        # dim, avoiding explicit activation transposes (only the flash
-        # kernel path needs the (B,H,T,Dk) layout).
-        q = _split_heads(self.q_proj(query), h)
-        k = _split_heads(self.k_proj(key), h)
-        v = _split_heads(self.v_proj(value), h)
-        b, tq = query.shape[0], query.shape[1]
+        q = _split_heads(self.q_proj(query), h).transpose(0, 2, 1, 3)
+        k = _split_heads(self.k_proj(key), h).transpose(0, 2, 1, 3)
+        v = _split_heads(self.v_proj(value), h).transpose(0, 2, 1, 3)
         if _FLASH_ATTENTION and (deterministic or self.dropout == 0.0):
             from cassnat_asr_public_tpu.kernels.flash_attention import \
                 default_interpret, flash_attention
-            tk = k.shape[1]
+            b, tq, tk = q.shape[0], q.shape[2], k.shape[2]
             m3 = None if mask is None else jnp.broadcast_to(mask, (b, tq, tk))
-            out = flash_attention(q.transpose(0, 2, 1, 3),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3), m3,
+            out = flash_attention(q, k, v, m3,
                                   interpret=default_interpret())
-            out = out.transpose(0, 2, 1, 3)
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32) \
-                / math.sqrt(dk)
             if mask is not None:
-                scores = jnp.where(mask[:, None, :, :], scores, MASK_MIN)
-            w = jax.nn.softmax(scores, axis=-1)
-            # NOTE: no post-softmax zeroing — matches the reference's plain
-            # MHA (attention.py:13-24), see dot_attention_weights.
-            w = self.attn_drop(w, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v,
+                mask = mask[:, None, :, :]  # same mask on every head
+            w = dot_attention_weights(q, k, mask, 1.0 / math.sqrt(dk),
+                                      self.attn_drop, deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
-        return self.o_proj(out.reshape(b, tq, self.d_model)
-                           .astype(self.compute_dtype))
+        return self.o_proj(_merge_heads(out).astype(self.compute_dtype))
 
 
 def rel_shift(scores_bd):
@@ -342,15 +329,13 @@ class RelMultiHeadedAttention(nn.Module):
         # pos_embed is the compact clamped table (2R'+1, d), row r <->
         # relative offset r-R' (see RelativePositionalEncoding).
         p = dense("pos", bias=False)(pos_embed)
-        p = p.reshape(-1, h, dk)
+        p = p.reshape(1, -1, h, dk)
 
         bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
 
-        # heads stay in (B, T, H, Dk) layout end-to-end — the einsums carry
-        # the head dim; no explicit (B,H,T,Dk) transposes of the activations
-        q_u = q + bias_u.astype(q.dtype)
-        q_v = q + bias_v.astype(q.dtype)
+        q_u = (q + bias_u.astype(q.dtype)).transpose(0, 2, 1, 3)  # (B,H,Tq,Dk)
+        q_v = (q + bias_v.astype(q.dtype)).transpose(0, 2, 1, 3)
         # Compact-table scoring: (B,H,Tq,2R'+1) scores, then a one-hot
         # Toeplitz expansion to (Tq,Tk) — same math as scoring the wide
         # (2T-1) tensor and rel-shifting, but skips the O(T^2) shift copies
@@ -361,22 +346,16 @@ class RelMultiHeadedAttention(nn.Module):
         # slower than XLA's fused attention at ASR lengths.
         t_q, t_k = query.shape[1], key.shape[1]
         r_eff = (pos_embed.shape[0] - 1) // 2
-        small = jnp.einsum("bqhd,ohd->bhqo", q_v, p,
+        small = jnp.einsum("bhqd,bkhd->bhqk", q_v, p,
                            preferred_element_type=jnp.float32) / math.sqrt(dk)
-        # Toeplitz expansion as 2R+1 fused selects: exactly one offset
-        # matches per (q,k), so the sum IS small[q, clip(k-q)] in f32 —
-        # exact, and elementwise, so XLA fuses it straight into the score
-        # computation instead of materializing a separate (B,H,Tq,Tk)
-        # bias (the one-hot matmul form measured 9.2 ms/layer at the ESA
-        # decoder shape N=800 U=96 R=8; benchmarks/rel_expand_variants.py).
         off = jnp.clip(jnp.arange(t_k)[None, :] - jnp.arange(t_q)[:, None],
-                       -r_eff, r_eff) + r_eff  # (Tq, Tk)
-        rel_bias = jnp.zeros((1, 1, t_q, t_k), jnp.float32)
-        for o in range(2 * r_eff + 1):
-            rel_bias = rel_bias + jnp.where(off[None, None] == o,
-                                            small[..., o, None], 0.0)
+                       -r_eff, r_eff) + r_eff
+        expand = jax.nn.one_hot(off, 2 * r_eff + 1, dtype=self.compute_dtype)
+        rel_bias = jnp.einsum("bhqo,qko->bhqk",
+                              small.astype(self.compute_dtype), expand,
+                              preferred_element_type=jnp.float32)
 
-        scores_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+        scores_ac = jnp.einsum("bhqd,bkhd->bhqk", q_u, k,
                                preferred_element_type=jnp.float32)
         scores = scores_ac / math.sqrt(dk) + rel_bias
 
@@ -387,11 +366,9 @@ class RelMultiHeadedAttention(nn.Module):
         if mask is not None:
             w = jnp.where(m, w, 0.0)
         w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v,
+        out = jnp.einsum("bhqk,bkhd->bhqd", w.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
-        b = query.shape[0]
-        return dense("out")(out.reshape(b, t_q, self.d_model)
-                            .astype(self.compute_dtype))
+        return dense("out")(_merge_heads(out).astype(self.compute_dtype))
 
 
 class ConvModule(nn.Module):
