@@ -1,0 +1,55 @@
+"""Logits-only NAT decode fast path == log-softmax path.
+
+`nat_decode(..., return_logits=True)` must yield exactly
+log_softmax(logits) == the default return, and the confidence ranking in
+nat_decode_jit (logit - logsumexp) must equal gathering from log-probs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_models import batch, tiny_args, VOCAB
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_nat_decode_logits_consistent(rng):
+    from cassnat_asr_public_tpu.models import make_cassnat
+    from cassnat_asr_public_tpu.ops.ctc import ctc_best_path_align
+
+    args = tiny_args(use_conv_enc=False, use_conv_dec=False,
+                     pos_type="absolute")
+    model = make_cassnat(VOCAB, args)
+    feats, src_mask, labels, label_sizes = batch(rng, bs=2)
+    tgt = labels[:, 1:]
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, src_mask,
+                        tgt, label_sizes)
+    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                           method="encode_ctc")
+    shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
+    umax = 8
+    logp, yl1 = model.apply(params, enc_h, enc_mask, shift, ylen0, umax,
+                            method="nat_decode")
+    logits, yl2 = model.apply(params, enc_h, enc_mask, shift, ylen0, umax,
+                              method="nat_decode", return_logits=True)
+    np.testing.assert_array_equal(np.asarray(yl1), np.asarray(yl2))
+    # same argmax and log-probs reconstructible from logits
+    np.testing.assert_array_equal(np.asarray(logp.argmax(-1)),
+                                  np.asarray(logits.argmax(-1)))
+    recon = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(logp),
+                               rtol=1e-5, atol=1e-5)
+    # confidence of the argmax token: gather-from-logprobs vs
+    # logit - logsumexp (the nat_decode_jit fast-path formula)
+    pred = logits.argmax(-1)
+    g1 = jnp.take_along_axis(logp, pred[..., None], -1)[..., 0]
+    g2 = (jnp.take_along_axis(logits, pred[..., None], -1)[..., 0]
+          .astype(jnp.float32)
+          - jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
