@@ -28,17 +28,22 @@ def distributed_init():
     jax.distributed: coordinator from MASTER_ADDR/PORT, process count/index
     from SLURM or JAX env vars. No-op on a single process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: must not touch jax.devices()/process_count() before
+    # jax.distributed.initialize — that would initialize the XLA backend
+    # single-process and make initialize() fail (caught by
+    # tests/test_multihost.py). Detect multi-process from env only.
     n_proc = os.environ.get("SLURM_NTASKS") or os.environ.get("WORLD_SIZE")
     if n_proc and int(n_proc) > 1:
         coord = os.environ.get("MASTER_ADDR", "127.0.0.1")
         port = os.environ.get("MASTER_PORT", "12355")
         pid = int(os.environ.get("SLURM_PROCID",
                                  os.environ.get("RANK", "0")))
-        jax.distributed.initialize(
-            coordinator_address=f"{coord}:{port}",
-            num_processes=int(n_proc), process_id=pid)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=f"{coord}:{port}",
+                num_processes=int(n_proc), process_id=pid)
+        except RuntimeError:
+            pass  # already initialized
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
