@@ -149,47 +149,75 @@ def main():
     base_esa = base[:esa_batch]
     mask_esa = mask[:esa_batch]
 
-    @jax.jit
-    def loop_esa(params, lm_params, base, key):
-        def body(i, acc):
-            f = base + jax.random.normal(
-                jax.random.fold_in(key, i), base.shape) * 1e-6
-            enc_h, enc_mask, ctc_out = model.apply(
-                params, f, mask_esa, method="encode_ctc")
-            ctc_out = ctc_out + boost
-            rep = lambda x: jnp.repeat(x, sample_num, axis=0)
-            enc_r, mask_r = rep(enc_h), rep(enc_mask)
-            shift, ylen0 = ctc_sampled_align(
-                ctc_out, enc_mask, sample_num, threshold=0.9,
-                rng=jax.random.fold_in(key, 1000 + i))
-            att_out, ylen = model.apply(params, enc_r, mask_r, shift,
-                                        ylen0, umax, method="nat_decode")
-            att_pred = att_out.argmax(-1)
-            # LM ranking (reference: cassnat.py:499-535)
-            sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
-            lm_out = lm.apply(lm_params,
-                              jnp.concatenate([sos, att_pred[:, :-1]], 1))
-            tok_scores = jnp.take_along_axis(
-                lm_out, att_pred[..., None], axis=-1)[..., 0]
-            slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
-            tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
-            cand = tok_scores.sum(-1) / jnp.maximum(slot_valid.sum(-1), 1)
-            best = cand.reshape(esa_batch, sample_num).argmax(-1)
-            sel = att_pred.reshape(esa_batch, sample_num, umax)[
-                jnp.arange(esa_batch), best]
-            return acc + sel.sum()
-        return jax.lax.fori_loop(0, 3, body, jnp.zeros((), jnp.int32))
+    def make_esa_loop(topk):
+        # topk=0: the reference-parity config (all 50 candidates ranked).
+        # topk>0: TPU-native CTC-path-score preselection (nat_decode_jit
+        # esa_topk) — NAT + LM rank run on topk candidates only.
+        n_cand = topk or sample_num
+
+        @jax.jit
+        def loop_esa(params, lm_params, base, key):
+            def body(i, acc):
+                f = base + jax.random.normal(
+                    jax.random.fold_in(key, i), base.shape) * 1e-6
+                enc_h, enc_mask, ctc_out = model.apply(
+                    params, f, mask_esa, method="encode_ctc")
+                ctc_out = ctc_out + boost
+                krng = jax.random.fold_in(key, 1000 + i)
+                if topk:
+                    shift, ylen0, psc = ctc_sampled_align(
+                        ctc_out, enc_mask, sample_num, threshold=0.9,
+                        rng=krng, return_scores=True)
+                    idx = jax.lax.top_k(
+                        psc.reshape(esa_batch, sample_num), topk)[1]
+                    flat = (jnp.arange(esa_batch)[:, None] * sample_num
+                            + idx).reshape(-1)
+                    shift, ylen0 = shift[flat], ylen0[flat]
+                else:
+                    shift, ylen0 = ctc_sampled_align(
+                        ctc_out, enc_mask, sample_num, threshold=0.9,
+                        rng=krng)
+                rep = lambda x: jnp.repeat(x, n_cand, axis=0)
+                enc_r, mask_r = rep(enc_h), rep(enc_mask)
+                att_out, ylen = model.apply(params, enc_r, mask_r, shift,
+                                            ylen0, umax,
+                                            method="nat_decode",
+                                            return_logits=True)
+                att_pred = att_out.argmax(-1)
+                # LM ranking (reference: cassnat.py:499-535)
+                sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
+                lm_out = lm.apply(lm_params,
+                                  jnp.concatenate([sos, att_pred[:, :-1]],
+                                                  1))
+                tok_scores = jnp.take_along_axis(
+                    lm_out, att_pred[..., None], axis=-1)[..., 0]
+                slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
+                tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
+                cand = tok_scores.sum(-1) / jnp.maximum(
+                    slot_valid.sum(-1), 1)
+                best = cand.reshape(esa_batch, n_cand).argmax(-1)
+                sel = att_pred.reshape(esa_batch, n_cand, umax)[
+                    jnp.arange(esa_batch), best]
+                return acc + sel.sum()
+            return jax.lax.fori_loop(0, 3, body, jnp.zeros((), jnp.int32))
+        return loop_esa
+
+    def time_esa(loop_esa):
+        np.asarray(loop_esa(params, lm_params, base_esa,
+                            jax.random.PRNGKey(98)))
+        ts = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            np.asarray(loop_esa(params, lm_params, base_esa,
+                                jax.random.PRNGKey(10 + i)))
+            ts.append(time.perf_counter() - t0)
+        return (float(np.median(ts)) / 3) / (esa_batch * secs)
 
     note("compiling ESA parity loop")
-    np.asarray(loop_esa(params, lm_params, base_esa, jax.random.PRNGKey(98)))
-    note("ESA loop compiled")
-    times = []
-    for i in range(2):
-        t0 = time.perf_counter()
-        np.asarray(loop_esa(params, lm_params, base_esa,
-                            jax.random.PRNGKey(10 + i)))
-        times.append(time.perf_counter() - t0)
-    esa_rtf = (float(np.median(times)) / 3) / (esa_batch * secs)
+    esa_rtf = time_esa(make_esa_loop(0))
+    note("ESA parity done; compiling ESA topk16 loop")
+    esa_topk_rtf = time_esa(make_esa_loop(16))
+    note("ESA topk16 done")
 
     print(json.dumps({
         "metric": "nast_batched_decode_rtf",
@@ -201,6 +229,11 @@ def main():
         "esa_vs_baseline": round(baseline_rtf / esa_rtf, 2),
         "esa_unit": "rtf, ESA parity config: sample_num=50 thr=0.9 + "
                     "16L transformer-LM ranking, batch=16",
+        "esa_topk16_rtf": round(esa_topk_rtf, 6),
+        "esa_topk16_vs_baseline": round(baseline_rtf / esa_topk_rtf, 2),
+        "esa_topk16_unit": "rtf, same config with esa_topk=16 CTC-path "
+                           "preselection (TPU-native extension, default "
+                           "off)",
     }))
 
 

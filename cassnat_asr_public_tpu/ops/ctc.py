@@ -299,7 +299,8 @@ def ctc_best_path_align(log_probs, frame_mask, blank=0, sample_num=0,
 
 
 def ctc_sampled_align(log_probs, frame_mask, sample_num, threshold=0.9,
-                      include_best=True, rng=None, blank=0):
+                      include_best=True, rng=None, blank=0,
+                      return_scores=False):
     """ESA sampled alignments from UNEXPANDED (B, T, V) posteriors.
 
     Same sampling rule as `ctc_best_path_align(sample_num>1)` (reference:
@@ -312,13 +313,19 @@ def ctc_sampled_align(log_probs, frame_mask, sample_num, threshold=0.9,
 
     Returns (aligned_seq_shift (B*S, T) int32, ylen (B*S,)) — rows grouped
     per utterance, row j=0 of each group the pure argmax path when
-    include_best.
+    include_best. With return_scores, also returns the per-candidate CTC
+    path log-probability (B*S,) (sum of the chosen per-frame log-probs
+    over valid frames) — the sampling density, usable to preselect
+    candidates before the expensive NAT/rank passes (the argmax row is
+    always its utterance's maximum, so include_best rows survive any
+    top-k preselection).
     """
     bs, tmax, _ = log_probs.shape
     n = bs * sample_num
     top2v, top2i = jax.lax.top_k(log_probs, 2)        # (B, T, 2)
     low_conf = jnp.exp(top2v[..., 0]) < threshold
     top2i_r = jnp.repeat(top2i, sample_num, axis=0)
+    top2v_r = jnp.repeat(top2v, sample_num, axis=0)
     low_r = jnp.repeat(low_conf, sample_num, axis=0)
     mask_r = jnp.repeat(frame_mask, sample_num, axis=0)
     select = jax.random.randint(rng, (n, tmax), 0, 2)
@@ -331,7 +338,12 @@ def ctc_sampled_align(log_probs, frame_mask, sample_num, threshold=0.9,
     best_paths = jnp.where(mask_r, best_paths, blank)
     aligned_seq_shift = _collapse_and_shift(best_paths, blank)
     ylen = jnp.sum(aligned_seq_shift != blank, axis=1)
-    return aligned_seq_shift.astype(jnp.int32), ylen
+    if not return_scores:
+        return aligned_seq_shift.astype(jnp.int32), ylen
+    chosen_lp = jnp.take_along_axis(top2v_r, select[..., None],
+                                    axis=2)[..., 0]
+    path_score = jnp.where(mask_r, chosen_lp, 0.0).sum(-1)
+    return aligned_seq_shift.astype(jnp.int32), ylen, path_score
 
 
 def align_to_trigger_mask(aligned_seq_shift, umax_plus1, frame_mask,

@@ -228,6 +228,7 @@ class CassNATTask(BaseTask):
                     beam_width=getattr(args, "beam_width", 1),
                     lm_model=fusion_lm,
                     lm_weight=getattr(args, "lm_weight", 0.0),
+                    esa_topk=getattr(args, "esa_topk", 0),
                     **self._decode_text_kwargs(feats, mask))
                 if "cand_tokens" in out:
                     out = self._rank_ngram(out)

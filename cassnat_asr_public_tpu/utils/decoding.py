@@ -50,7 +50,7 @@ def _repeat_batch(x, n):
 @partial(jax.jit, static_argnames=("model", "umax", "sample_num",
                                   "rank_model", "threshold", "lm_apply",
                                   "beam_width", "lm_weight", "align",
-                                  "lm_model"))
+                                  "lm_model", "esa_topk"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -59,7 +59,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    lm_weight: float = 0.0, align: str = "best_path",
                    labels=None, label_sizes=None,
                    ext_shift=None, ext_ylen=None, lm_model=None,
-                   text_input=None, text_mask=None):
+                   text_input=None, text_mask=None, esa_topk: int = 0):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -82,18 +82,18 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         params, feats, src_mask, method="encode_ctc")
 
     enc_mask_1x = enc_mask
-    if sample_num > 1:
-        enc_h = _repeat_batch(enc_h, sample_num)
-        enc_mask = _repeat_batch(enc_mask, sample_num)
-
+    n_cand = sample_num  # candidate rows per utterance after alignment
     if align == "oracle":
         from cassnat_asr_public_tpu.ops.ctc import ctc_viterbi_align
         if sample_num > 1:
             ctc_out = _repeat_batch(ctc_out, sample_num)
+            enc_mask = _repeat_batch(enc_mask, sample_num)
         shift, _ = ctc_viterbi_align(ctc_out, labels, enc_mask.sum(-1),
                                      label_sizes)
         ylen0 = label_sizes
     elif align == "external":
+        if sample_num > 1:
+            enc_mask = _repeat_batch(enc_mask, sample_num)
         shift, ylen0 = ext_shift, ext_ylen
     elif sample_num > 1:
         # sampled ESA alignments from the UNEXPANDED posteriors: only the
@@ -101,18 +101,36 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         # + expanded top_k measured 745 ms of the ~1 s ESA iteration;
         # benchmarks/esa_stage_bench.py).
         from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
-        shift, ylen0 = ctc_sampled_align(ctc_out, enc_mask_1x, sample_num,
-                                         threshold=threshold, rng=rng)
+        if esa_topk and esa_topk < sample_num:
+            # TPU-native EXTENSION (default off): preselect the esa_topk
+            # highest-CTC-path-probability sampled alignments per utterance
+            # before the expensive NAT + rank passes. The argmax candidate
+            # always survives (it maximizes the path score), so this only
+            # prunes low-density samples the rank model rarely prefers.
+            shift, ylen0, psc = ctc_sampled_align(
+                ctc_out, enc_mask_1x, sample_num, threshold=threshold,
+                rng=rng, return_scores=True)
+            idx = jax.lax.top_k(psc.reshape(bs, sample_num), esa_topk)[1]
+            flat = (jnp.arange(bs)[:, None] * sample_num + idx).reshape(-1)
+            shift, ylen0 = shift[flat], ylen0[flat]
+            n_cand = esa_topk
+        else:
+            shift, ylen0 = ctc_sampled_align(ctc_out, enc_mask_1x,
+                                             sample_num,
+                                             threshold=threshold, rng=rng)
+        enc_mask = _repeat_batch(enc_mask, n_cand)
     else:
         shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
+    if n_cand > 1:
+        enc_h = _repeat_batch(enc_h, n_cand)
     nat_kwargs = {}
     if text_input is not None:
         # host-retokenized text (LMNAT gpt2/bert flavors): one row per
         # utterance, repeated across ESA candidates
         # (reference: lmnat.py:523-525)
-        if sample_num > 1 and text_input.shape[0] == bs:
-            text_input = _repeat_batch(text_input, sample_num)
-            text_mask = _repeat_batch(text_mask, sample_num)
+        if n_cand > 1 and text_input.shape[0] == bs:
+            text_input = _repeat_batch(text_input, n_cand)
+            text_mask = _repeat_batch(text_mask, n_cand)
         nat_kwargs = {"text_input": text_input, "text_mask": text_mask}
     # Fast path: when neither per-position beam nor LM fusion needs the
     # full normalized distribution, fetch raw logits — argmax is identical
@@ -129,22 +147,22 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     att_pred = att_out.argmax(-1)  # (N, umax)
     slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
 
-    if sample_num > 1:
+    if n_cand > 1:
         if rank_model == "host":
             # Host-side ranking (n-gram ARPA scorer): hand all candidates
             # back; the task detokenizes and ranks them on host
             # (reference: cassnat.py:521-533 scores kenlm on word strings).
             return {
                 "cand_tokens": jnp.where(slot_valid, att_pred,
-                                         0).reshape(bs, sample_num, umax),
+                                         0).reshape(bs, n_cand, umax),
                 "cand_lengths": jnp.maximum(ylen - 1,
-                                            0).reshape(bs, sample_num),
+                                            0).reshape(bs, n_cand),
             }
         if rank_model in ("lm", "at_baseline"):
             sos = jnp.ones((n, 1), att_pred.dtype)
             lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
-            feats_rep = _repeat_batch(feats, sample_num)
-            mask_rep = _repeat_batch(src_mask, sample_num)
+            feats_rep = _repeat_batch(feats, n_cand)
+            mask_rep = _repeat_batch(src_mask, n_cand)
             lm_out = lm_apply(lm_params, lm_input, feats_rep,
                               mask_rep)  # (N, umax, V)
             tok_scores = jnp.take_along_axis(
@@ -162,13 +180,13 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                     att_out.astype(jnp.float32), axis=-1)
             own = jnp.where(slot_valid, own, 0.0)
             cand_score = own.sum(-1) / jnp.maximum(slot_valid.sum(-1), 1)
-        cand_score = cand_score.reshape(bs, sample_num)
+        cand_score = cand_score.reshape(bs, n_cand)
         best = cand_score.argmax(-1)  # (B,)
-        att_pred = att_pred.reshape(bs, sample_num, umax)[
+        att_pred = att_pred.reshape(bs, n_cand, umax)[
             jnp.arange(bs), best]
-        att_out_sel = att_out.reshape(bs, sample_num, umax, -1)[
+        att_out_sel = att_out.reshape(bs, n_cand, umax, -1)[
             jnp.arange(bs), best]
-        ylen = ylen.reshape(bs, sample_num)[jnp.arange(bs), best]
+        ylen = ylen.reshape(bs, n_cand)[jnp.arange(bs), best]
         slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
     else:
         att_out_sel = att_out

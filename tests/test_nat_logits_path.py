@@ -18,6 +18,40 @@ def rng():
     return np.random.default_rng(0)
 
 
+def test_esa_topk_preselection(rng):
+    """esa_topk: full-K selection == no-topk; K<S stays well-formed and
+    reduces to the argmax path when sampling is disabled (threshold=0)."""
+    from cassnat_asr_public_tpu.models import make_cassnat
+    from cassnat_asr_public_tpu.utils.decoding import nat_decode_jit
+
+    args = tiny_args(use_conv_enc=False, use_conv_dec=False,
+                     pos_type="absolute")
+    model = make_cassnat(VOCAB, args)
+    feats, src_mask, labels, label_sizes = batch(rng, bs=2)
+    tgt = labels[:, 1:]
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, src_mask,
+                        tgt, label_sizes)
+    key = jax.random.PRNGKey(7)
+    base = nat_decode_jit(model, params, feats, src_mask, key, umax=8,
+                          sample_num=6)
+    full = nat_decode_jit(model, params, feats, src_mask, key, umax=8,
+                          sample_num=6, esa_topk=6)
+    np.testing.assert_array_equal(np.asarray(base["tokens"]),
+                                  np.asarray(full["tokens"]))
+    np.testing.assert_array_equal(np.asarray(base["lengths"]),
+                                  np.asarray(full["lengths"]))
+    # threshold=0: every candidate is the argmax path, so any K gives the
+    # single-pass greedy NAT result
+    greedy = nat_decode_jit(model, params, feats, src_mask, key, umax=8,
+                            sample_num=1)
+    pruned = nat_decode_jit(model, params, feats, src_mask, key, umax=8,
+                            sample_num=6, esa_topk=2, threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(pruned["tokens"]),
+                                  np.asarray(greedy["tokens"]))
+    np.testing.assert_array_equal(np.asarray(pruned["lengths"]),
+                                  np.asarray(greedy["lengths"]))
+
+
 def test_nat_decode_logits_consistent(rng):
     from cassnat_asr_public_tpu.models import make_cassnat
     from cassnat_asr_public_tpu.ops.ctc import ctc_best_path_align
