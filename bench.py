@@ -70,7 +70,8 @@ def main():
     input_size = 240  # 80 fbank x 3-frame splice (conf/transformer.yaml)
     model = make_cassnat(input_size, args)
 
-    batch = 32
+    import os
+    batch = int(os.environ.get("CASSNAT_BENCH_BATCH", "32"))
     secs = 7.4               # LibriSpeech test-clean mean utterance length
     frames = 736             # 7.36 s at 10 ms frame shift
     umax = 96                # output-slot budget: test-clean averages ~35
@@ -222,8 +223,8 @@ def main():
     print(json.dumps({
         "metric": "nast_batched_decode_rtf",
         "value": round(rtf, 6),
-        "unit": "rtf (decode_s/audio_s), batch=32, conformer-CASSNAT d512, "
-                "steady-state device loop",
+        "unit": f"rtf (decode_s/audio_s), batch={batch}, conformer-CASSNAT "
+                "d512, steady-state device loop",
         "vs_baseline": round(baseline_rtf / rtf, 2),
         "esa_rtf": round(esa_rtf, 6),
         "esa_vs_baseline": round(baseline_rtf / esa_rtf, 2),
