@@ -189,9 +189,12 @@ def main():
                 sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
                 lm_out = lm.apply(lm_params,
                                   jnp.concatenate([sos, att_pred[:, :-1]],
-                                                  1))
+                                                  1),
+                                  method="forward_logits")
                 tok_scores = jnp.take_along_axis(
-                    lm_out, att_pred[..., None], axis=-1)[..., 0]
+                    lm_out, att_pred[..., None], axis=-1)[..., 0] \
+                    .astype(jnp.float32) - jax.nn.logsumexp(
+                        lm_out.astype(jnp.float32), axis=-1)
                 slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
                 tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
                 cand = tok_scores.sum(-1) / jnp.maximum(

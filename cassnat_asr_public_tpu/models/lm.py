@@ -156,6 +156,14 @@ class TransformerLM(nn.Module):
         """(B, L) -> (B, L, V) log-probs."""
         return self.generator(self.backbone(tokens, causal, deterministic))
 
+    def forward_logits(self, tokens, causal: bool = True,
+                       deterministic=True):
+        """(B, L) -> (B, L, V) raw logits — rankers that only gather
+        per-token scores use logit - logsumexp and skip the f32
+        log-softmax materialization over the vocab."""
+        return self.generator.logits(
+            self.backbone(tokens, causal, deterministic))
+
     def extract_features(self, tokens, deterministic=True):
         return self.backbone(tokens, causal=True, deterministic=deterministic)
 

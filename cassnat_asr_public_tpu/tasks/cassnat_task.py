@@ -145,7 +145,9 @@ class CassNATTask(BaseTask):
                 self.lm_params = ckpt.restore_params(self.lm_params,
                                                      state["params"])
             lm = self.lm_model
-            self.lm_apply = lambda p, ys, feats, mask: lm.apply(p, ys)
+            self.lm_apply = lambda p, ys, feats, mask: lm.apply(
+                p, ys, method="forward_logits")
+            self.lm_apply_logits = True
         elif rank_model == "at_baseline" and getattr(args, "rank_config",
                                                      None):
             # AT baseline scores candidates with its own decoder
@@ -229,6 +231,8 @@ class CassNATTask(BaseTask):
                     lm_model=fusion_lm,
                     lm_weight=getattr(args, "lm_weight", 0.0),
                     esa_topk=getattr(args, "esa_topk", 0),
+                    lm_apply_logits=getattr(self, "lm_apply_logits",
+                                            False),
                     **self._decode_text_kwargs(feats, mask))
                 if "cand_tokens" in out:
                     out = self._rank_ngram(out)

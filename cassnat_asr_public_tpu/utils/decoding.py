@@ -50,7 +50,8 @@ def _repeat_batch(x, n):
 @partial(jax.jit, static_argnames=("model", "umax", "sample_num",
                                   "rank_model", "threshold", "lm_apply",
                                   "beam_width", "lm_weight", "align",
-                                  "lm_model", "esa_topk"))
+                                  "lm_model", "esa_topk",
+                                  "lm_apply_logits"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -59,7 +60,8 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    lm_weight: float = 0.0, align: str = "best_path",
                    labels=None, label_sizes=None,
                    ext_shift=None, ext_ylen=None, lm_model=None,
-                   text_input=None, text_mask=None, esa_topk: int = 0):
+                   text_input=None, text_mask=None, esa_topk: int = 0,
+                   lm_apply_logits: bool = False):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -167,6 +169,11 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                               mask_rep)  # (N, umax, V)
             tok_scores = jnp.take_along_axis(
                 lm_out, att_pred[..., None], axis=-1)[..., 0]
+            if lm_apply_logits:
+                # lm_apply returned raw logits: per-token log-prob is
+                # logit - logsumexp (skips the vocab-wide log-softmax)
+                tok_scores = tok_scores.astype(jnp.float32) - \
+                    jax.nn.logsumexp(lm_out.astype(jnp.float32), axis=-1)
             tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
             denom = jnp.maximum(slot_valid.sum(-1), 1)
             cand_score = tok_scores.sum(-1) / denom  # (N,)

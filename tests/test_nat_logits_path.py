@@ -52,6 +52,62 @@ def test_esa_topk_preselection(rng):
                                   np.asarray(greedy["lengths"]))
 
 
+def test_lm_rank_logits_flavor_equivalent(rng):
+    """nat_decode_jit rank_model='lm': logits-returning lm_apply (the task's
+    fast path) selects the same candidates as the log-prob one."""
+    from cassnat_asr_public_tpu.models import make_cassnat
+    from cassnat_asr_public_tpu.models.lm import TransformerLM
+    from cassnat_asr_public_tpu.utils.decoding import nat_decode_jit
+
+    args = tiny_args(use_conv_enc=False, use_conv_dec=False,
+                     pos_type="absolute")
+    model = make_cassnat(VOCAB, args)
+    feats, src_mask, labels, label_sizes = batch(rng, bs=2)
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, src_mask,
+                        labels[:, 1:], label_sizes)
+    lm = TransformerLM(VOCAB, n_layers=2, d_model=16, d_ff=32, n_head=2,
+                       dropout=0.0)
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32))
+    key = jax.random.PRNGKey(5)
+
+    def lp_apply(p, ys, f, m):
+        return lm.apply(p, ys)
+
+    def lg_apply(p, ys, f, m):
+        return lm.apply(p, ys, method="forward_logits")
+
+    a = nat_decode_jit(model, params, feats, src_mask, key, umax=8,
+                       sample_num=4, rank_model="lm", lm_apply=lp_apply,
+                       lm_params=lm_params)
+    b = nat_decode_jit(model, params, feats, src_mask, key, umax=8,
+                       sample_num=4, rank_model="lm", lm_apply=lg_apply,
+                       lm_params=lm_params, lm_apply_logits=True)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                  np.asarray(b["tokens"]))
+    np.testing.assert_array_equal(np.asarray(a["lengths"]),
+                                  np.asarray(b["lengths"]))
+
+
+def test_lm_forward_logits_consistent(rng):
+    from cassnat_asr_public_tpu.models.lm import TransformerLM
+    lm = TransformerLM(17, n_layers=2, d_model=16, d_ff=32, n_head=2,
+                       dropout=0.0)
+    toks = jnp.asarray(rng.integers(3, 17, size=(2, 6)), jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    logp = lm.apply(params, toks)
+    logits = lm.apply(params, toks, method="forward_logits")
+    recon = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(logp),
+                               rtol=1e-5, atol=1e-5)
+    # ranking formula equivalence
+    g1 = jnp.take_along_axis(logp, toks[..., None], -1)[..., 0]
+    g2 = (jnp.take_along_axis(logits, toks[..., None], -1)[..., 0]
+          .astype(jnp.float32)
+          - jax.nn.logsumexp(logits.astype(jnp.float32), -1))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_nat_decode_logits_consistent(rng):
     from cassnat_asr_public_tpu.models import make_cassnat
     from cassnat_asr_public_tpu.ops.ctc import ctc_best_path_align
