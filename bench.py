@@ -229,6 +229,7 @@ def main():
         "unit": f"rtf (decode_s/audio_s), batch={batch}, conformer-CASSNAT "
                 "d512, steady-state device loop",
         "vs_baseline": round(baseline_rtf / rtf, 2),
+        "utts_per_sec_chip": round(batch / dt, 1),
         "esa_rtf": round(esa_rtf, 6),
         "esa_vs_baseline": round(baseline_rtf / esa_rtf, 2),
         "esa_unit": "rtf, ESA parity config: sample_num=50 thr=0.9 + "
