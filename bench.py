@@ -217,29 +217,40 @@ def main():
             ts.append(time.perf_counter() - t0)
         return (float(np.median(ts)) / 3) / (esa_batch * secs)
 
-    note("compiling ESA parity loop")
-    esa_rtf = time_esa(make_esa_loop(0))
-    note("ESA parity done; compiling ESA topk16 loop")
-    esa_topk_rtf = time_esa(make_esa_loop(16))
-    note("ESA topk16 done")
+    # The remote compile service is high-variance; never let the ESA
+    # sections prevent the primary metric from printing.
+    esa_rtf = esa_topk_rtf = None
+    try:
+        note("compiling ESA parity loop")
+        esa_rtf = time_esa(make_esa_loop(0))
+        note("ESA parity done; compiling ESA topk16 loop")
+        esa_topk_rtf = time_esa(make_esa_loop(16))
+        note("ESA topk16 done")
+    except Exception as e:  # pragma: no cover - infra failure path
+        note(f"ESA section failed: {e!r}")
 
-    print(json.dumps({
+    result = {
         "metric": "nast_batched_decode_rtf",
         "value": round(rtf, 6),
         "unit": f"rtf (decode_s/audio_s), batch={batch}, conformer-CASSNAT "
                 "d512, steady-state device loop",
         "vs_baseline": round(baseline_rtf / rtf, 2),
         "utts_per_sec_chip": round(batch / dt, 1),
-        "esa_rtf": round(esa_rtf, 6),
-        "esa_vs_baseline": round(baseline_rtf / esa_rtf, 2),
-        "esa_unit": "rtf, ESA parity config: sample_num=50 thr=0.9 + "
-                    "16L transformer-LM ranking, batch=16",
-        "esa_topk16_rtf": round(esa_topk_rtf, 6),
-        "esa_topk16_vs_baseline": round(baseline_rtf / esa_topk_rtf, 2),
-        "esa_topk16_unit": "rtf, same config with esa_topk=16 CTC-path "
-                           "preselection (TPU-native extension, default "
-                           "off)",
-    }))
+    }
+    if esa_rtf is not None:
+        result.update(
+            esa_rtf=round(esa_rtf, 6),
+            esa_vs_baseline=round(baseline_rtf / esa_rtf, 2),
+            esa_unit="rtf, ESA parity config: sample_num=50 thr=0.9 + "
+                     "16L transformer-LM ranking, batch=16")
+    if esa_topk_rtf is not None:
+        result.update(
+            esa_topk16_rtf=round(esa_topk_rtf, 6),
+            esa_topk16_vs_baseline=round(baseline_rtf / esa_topk_rtf, 2),
+            esa_topk16_unit="rtf, same config with esa_topk=16 CTC-path "
+                            "preselection (TPU-native extension, default "
+                            "off)")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
