@@ -141,3 +141,30 @@ def test_config_three_way_merge(tmp_path):
     assert cfg.d_model == 128         # data yaml applied last
     assert cfg.dropout == 0.2
     assert cfg.specaug_conf.n_freq_mask == 2
+
+
+def test_mwer_loss_hand_computed():
+    """Expected-WER loss vs a hand-rolled numpy oracle (reference:
+    src/utils/loss.py:37-49 semantics: per-candidate length-normalized
+    hypothesis log-prob weighted by max-shifted WER weights)."""
+    from cassnat_asr_public_tpu.utils.losses import mwer_loss
+    rng = np.random.default_rng(3)
+    B1, S, U, V = 2, 3, 4, 6
+    lp = np.log(rng.dirichlet(np.ones(V), size=(B1 * S, U))).astype(
+        np.float32)
+    tgt = rng.integers(1, V, size=(B1 * S, U)).astype(np.int32)
+    tgt[0, 2:] = 0   # padded tails
+    tgt[4, 1:] = 0
+    ww = rng.normal(size=(B1, S)).astype(np.float32)
+
+    got = float(mwer_loss(jnp.asarray(lp), jnp.asarray(tgt),
+                          jnp.asarray(ww)))
+
+    att_prob = np.empty(B1 * S, np.float64)
+    for i in range(B1 * S):
+        m = tgt[i] != 0
+        att_prob[i] = lp[i, np.arange(U), tgt[i]][m].sum() / max(m.sum(), 1)
+    att_prob = att_prob.reshape(B1, S)
+    w = ww - ww.max(1, keepdims=True)
+    want = float((att_prob * w).mean(1).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
