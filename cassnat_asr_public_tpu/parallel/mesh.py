@@ -42,8 +42,12 @@ def distributed_init():
             jax.distributed.initialize(
                 coordinator_address=f"{coord}:{port}",
                 num_processes=int(n_proc), process_id=pid)
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Only the double-init error is benign; a genuine failure (bad
+            # coordinator address, port in use) must not let a multi-process
+            # job silently run single-process (ADVICE r2).
+            if "already initialized" not in str(e).lower():
+                raise
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,

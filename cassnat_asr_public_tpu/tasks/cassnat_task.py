@@ -328,12 +328,17 @@ class CassNATTask(BaseTask):
         rank_model = getattr(args, "rank_model", "none")
         if self.lm_model is None:
             rank_model = "none"
-        return nat_decode_jit(
+        out = nat_decode_jit(
             self.model, self.state.params, feats, mask, rng, umax=umax,
             sample_num=sample_num, align="external", ext_shift=shift,
-            ext_ylen=jnp.asarray(lsizes), rank_model=rank_model,
+            ext_ylen=jnp.asarray(lsizes),
+            rank_model=("host" if rank_model == "n-gram" else rank_model),
             lm_apply=lm_apply, lm_params=self.lm_params,
-            lm_weight=getattr(args, "lm_weight", 0.0))
+            lm_weight=getattr(args, "lm_weight", 0.0),
+            lm_apply_logits=getattr(self, "lm_apply_logits", False))
+        if "cand_tokens" in out:
+            out = self._rank_ngram(out)
+        return out
 
     def _hitrate_update(self, batch, feats, mask, out, stats, diffs):
         """Alignment-accuracy + length-diff stats

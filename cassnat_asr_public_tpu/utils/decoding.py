@@ -208,6 +208,10 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
         lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
         lm_out = lm_apply(lm_params, lm_input, feats, src_mask)
+        if lm_apply_logits:
+            # lm_apply returned raw logits; fusion must combine log-prob
+            # scales (ADVICE r2) — normalize over the vocab first.
+            lm_out = jax.nn.log_softmax(lm_out.astype(jnp.float32), axis=-1)
         fused = att_out_sel + lm_weight * lm_out
         att_pred = fused.argmax(-1)
 

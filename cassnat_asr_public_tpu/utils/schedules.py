@@ -17,6 +17,7 @@ optax.multi_transform over a param-tree label function.
 import math
 from typing import Callable, Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -104,7 +105,17 @@ def _adam(schedule, args):
     if grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     if wd > 0:
-        chain.append(optax.add_decayed_weights(wd))
+        # Exclude the frozen sinusoidal rel-PE tables (*/pos_enc/table):
+        # they are held out of the gradient via stop_gradient, but weight
+        # decay would still shrink them toward zero (ADVICE r2).
+        def decay_mask(params):
+            def keep(path, _):
+                keys = tuple(str(k.key) if hasattr(k, "key") else str(k)
+                             for k in path)
+                return not (len(keys) >= 2 and keys[-2:] ==
+                            ("pos_enc", "table"))
+            return jax.tree_util.tree_map_with_path(keep, params)
+        chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
     chain.append(optax.scale_by_adam(b1=0.9, b2=0.98, eps=eps))
     chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
     return optax.chain(*chain)

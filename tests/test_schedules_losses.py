@@ -168,3 +168,27 @@ def test_mwer_loss_hand_computed():
     w = ww - ww.max(1, keepdims=True)
     want = float((att_prob * w).mean(1).mean())
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_weight_decay_skips_rel_pe_table():
+    """weight_decay must not shrink the frozen */pos_enc/table params
+    (ADVICE r2: stop_gradient blocks the grad, not the decay term)."""
+    import optax
+    from cassnat_asr_public_tpu.utils.config import Config
+    from cassnat_asr_public_tpu.utils.schedules import get_optim
+
+    args = Config(optim_type="noam", noam_factor=1.0, d_model=8,
+                  warmup_steps=10, warmup_type="noam_warmup",
+                  weight_decay=0.1, grad_clip=0.0)
+    params = {"params": {"enc": {"pos_enc": {"table": jnp.ones((3, 4))},
+                                 "dense": {"kernel": jnp.ones((4, 4))}}}}
+    tx = get_optim("noam", args)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # zero grad + decay: the table update must be exactly zero, the dense
+    # kernel update must be nonzero (decayed).
+    table_u = updates["params"]["enc"]["pos_enc"]["table"]
+    dense_u = updates["params"]["enc"]["dense"]["kernel"]
+    assert float(jnp.abs(table_u).max()) == 0.0
+    assert float(jnp.abs(dense_u).max()) > 0.0
