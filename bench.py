@@ -1,31 +1,48 @@
-"""Benchmark: NAST (CASS-NAT) batched single-pass decode RTF on one chip.
+"""Benchmark: CASS-NAT decode RTF on one chip — ESA (the WER-bearing
+config) as the primary metric, greedy best-path as secondary.
 
-The reference's headline NAST number is RTF 0.011 (decode compute time /
-audio duration) at batch_size 1 on GPU (reference: README.md:33; BASELINE.md).
-Here the full pipeline — encoder, CTC head, best-path alignment, trigger
-mask, NAT decoder, argmax — runs as one jitted batched function in bfloat16
-on the TPU MXU. Synthetic utterances at the LibriSpeech test-clean mean
-duration (~7.4 s -> 736 fbank frames at 10 ms) and the production model
-config (conf/cassnat_train.yaml: conformer 12-enc d512, 1-extra 5-SAD 2-MAD
-conv decoder, 240-dim spliced features).
+The reference's headline NAST RTF 0.011 was produced by its ESA decode
+(sample_num=50 sampled alignments + candidate ranking, batch_size 1 GPU;
+reference: README.md:33, egs/librispeech/conf/cassnat_decode.yaml,
+src/models/cassnat.py:441-573). The primary number here is therefore the
+ESA parity config — sample_num=50, threshold 0.9, 16-layer transformer-LM
+ranking — run through the SHIPPED `nat_decode_jit` (the production decode
+path, utils/decoding.py), batched, in bfloat16 on the TPU MXU, with exact
+candidate dedup (output verified identical to the undeduped rank in-run).
 
-Methodology: N decode iterations run INSIDE one jitted `lax.fori_loop`, each
-iteration on freshly perturbed inputs (fold_in'd keys), with the result
-reduced and materialized on host. This measures steady-state device
-throughput and defeats any dispatch/result caching; host-tunnel latency
-(~25 ms/call in this harness) is amortized out, as it would be in a real
-serving loop.
+Emission calibration: an untrained CTC head on random input emits a token
+nearly every frame at uniform confidence, which both over-weights the NAT
+stages ~4x vs real blank-dominated speech AND disables ESA dedup (every
+sampled alignment unique). Real trained CTC posteriors are blank-dominated
+and peaked. Calibration is baked INTO the ctc head params (bias shift for
+the blank rate, temperature for the confidence profile) so the measured
+graph is byte-for-byte the production path:
+  * blank bias: argmax picks blank on ~80% of frames -> mean ylen ~ 36
+    tokens/utt (test-clean statistics).
+  * temperature: the fraction of frames below the ESA sampling threshold
+    (max prob < 0.9) is set to 10% for the primary profile — a
+    conservative figure for trained CTC models, which are typically
+    >90%-confident on well over 90% of frames — plus a 2% "peaked"
+    profile bracketing a confident model (the trained-model regime
+    measured in WER_PARITY.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology: N decode iterations inside one jitted `lax.fori_loop`, each on
+freshly perturbed inputs (fold_in'd keys), result reduced and materialized
+on host — steady-state device throughput, no dispatch/result caching, host
+tunnel latency amortized (see CLAUDE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 T0 = time.time()
+BASELINE_RTF = 0.011  # reference README.md:33
 
 
 def note(msg):
@@ -37,8 +54,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Persistent compilation cache: the ESA-config graph is large; cache it
-    # so repeated driver runs skip the multi-minute compile.
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/jax_comp_cache")
@@ -47,17 +62,18 @@ def main():
         pass
 
     from cassnat_asr_public_tpu.models import make_cassnat
+    from cassnat_asr_public_tpu.models.lm import TransformerLM
     from cassnat_asr_public_tpu.nn.modules import enable_flash_attention
-    from cassnat_asr_public_tpu.ops.ctc import (ctc_best_path_align,
-                                                ctc_sampled_align)
     from cassnat_asr_public_tpu.utils.config import Config
+    from cassnat_asr_public_tpu.utils.decoding import nat_decode_jit
 
     # A/B on-chip measured XLA's fused attention marginally faster than the
     # Pallas kernel inside this full graph at ASR shapes; the kernel remains
     # available via enable_flash_attention(True).
     enable_flash_attention(False)
 
-    args = Config(
+    smoke = bool(int(os.environ.get("CASSNAT_BENCH_SMOKE", "0")))
+    d = dict(
         vocab_size=4999, N_enc=12, N_extra=1, N_self_dec=5, N_mix_dec=2,
         d_model=512, d_ff=2048, d_encff=1024, d_decff=1024, n_head=8,
         dropout=0.0, ctc_alpha=1.0, interctc_alpha=0.0, interctc_layer=0,
@@ -67,189 +83,235 @@ def main():
         use_trigger=True, src_trigger=False, use_unimask=False,
         use_best_path=True, compute_dtype=jnp.bfloat16,
     )
+    if smoke:  # tiny CPU plumbing check, numbers meaningless
+        d.update(vocab_size=128, N_enc=2, N_self_dec=1, N_mix_dec=1,
+                 d_model=64, d_ff=128, d_encff=128, d_decff=128, n_head=4)
+    args = Config(**d)
     input_size = 240  # 80 fbank x 3-frame splice (conf/transformer.yaml)
     model = make_cassnat(input_size, args)
 
-    import os
-    batch = int(os.environ.get("CASSNAT_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("CASSNAT_BENCH_BATCH", "4" if smoke else "32"))
     secs = 7.4               # LibriSpeech test-clean mean utterance length
-    frames = 736             # 7.36 s at 10 ms frame shift
-    umax = 96                # output-slot budget: test-clean averages ~35
-    # BPE tokens per utterance (~0.2 per subsampled frame); 96 slots is
-    # >2x the 99.9th-percentile length at these durations.
-    n_inner = 20             # decode iterations per dispatch
+    frames = 64 if smoke else 736   # 7.36 s at 10 ms frame shift
+    umax = 16 if smoke else 96      # output-slot budget: test-clean averages
+    # ~35 BPE tokens per utterance; 96 slots is >2x the 99.9th-pct length.
+    n_inner = 2 if smoke else 20    # greedy decode iterations per dispatch
 
     rng = jax.random.PRNGKey(0)
     base = jax.random.normal(rng, (batch, frames, input_size), jnp.float32)
     mask = jnp.ones((batch, frames), bool)
     labels = jnp.concatenate(
-        [jax.random.randint(rng, (1, 20), 3, 4999),
+        [jax.random.randint(rng, (1, 20), 3, args.vocab_size),
          jnp.full((1, 1), 2, jnp.int32)], axis=1)
     params = model.init({"params": rng}, base[:1, :64], mask[:1, :64],
                         labels, jnp.full((1,), 20, jnp.int32))
 
-    # An untrained CTC head on random input emits a token nearly every
-    # frame (ylen ~ T'), which over-weights the NAT/ranking stages ~4x vs
-    # real speech, where trained CTC outputs are blank-dominated (~0.2
-    # emissions per subsampled frame on test-clean). Calibrate a constant
-    # blank-logit boost so argmax picks blank on ~80% of frames — the
-    # compute graph is unchanged except one broadcast add.
+    # ---- emission calibration, baked into the ctc head params ----
     _, m0, c0 = jax.jit(lambda p, f: model.apply(
         p, f, mask, method="encode_ctc"))(params, base)
-    c0 = np.asarray(c0, np.float32)
+    c0 = np.asarray(c0, np.float32)         # (B, T', V) log-probs
     gap = c0[..., 1:].max(-1) - c0[..., 0]
     blank_bias = float(np.quantile(gap, 0.80))
-    boost = jnp.zeros((4999,), jnp.float32).at[0].set(blank_bias)
     bp = np.where(gap > blank_bias, c0[..., 1:].argmax(-1) + 1, 0)
     emits = (bp[:, 1:] != bp[:, :-1]) & (bp[:, 1:] != 0)
-    note(f"blank_bias={blank_bias:.3f} mean_ylen="
-         f"{float(emits.sum(-1).mean()):.1f} of {umax} slots")
+    mean_ylen = float(emits.sum(-1).mean())
 
+    boosted = c0.copy()
+    boosted[..., 0] += blank_bias
+
+    def lowconf_frac(tau):
+        z = boosted / tau
+        z = z - z.max(-1, keepdims=True)
+        p_max = 1.0 / np.exp(z).sum(-1)
+        return float((p_max < 0.9).mean())
+
+    def solve_tau(target):
+        lo, hi = 1e-3, 10.0
+        for _ in range(40):
+            mid = (lo * hi) ** 0.5
+            if lowconf_frac(mid) > target:
+                hi = mid
+            else:
+                lo = mid
+        return (lo * hi) ** 0.5
+
+    profiles = {"mid": 0.10, "peaked": 0.02}
+    taus = {k: solve_tau(v) for k, v in profiles.items()}
+    note(f"blank_bias={blank_bias:.3f} mean_ylen={mean_ylen:.1f} "
+         f"taus={ {k: round(v, 4) for k, v in taus.items()} }")
+
+    def calibrated_params(tau):
+        import copy
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        gen = dict(p["params"]["ctc_generator"]["proj"])
+        boost = jnp.zeros((args.vocab_size,),
+                          gen["bias"].dtype).at[0].set(blank_bias)
+        gen["kernel"] = gen["kernel"] / tau
+        gen["bias"] = (gen["bias"] + boost) / tau
+        p["params"]["ctc_generator"]["proj"] = gen
+        return p
+
+    cal = {k: calibrated_params(t) for k, t in taus.items()}
+
+    # ---- secondary: greedy best-path batched decode (shipped path) ----
     @jax.jit
-    def loop_decode(params, base, key):
+    def loop_greedy(params, base, key):
         def body(i, acc):
             f = base + jax.random.normal(
                 jax.random.fold_in(key, i), base.shape) * 1e-6
-            enc_h, enc_mask, ctc_out = model.apply(
-                params, f, mask, method="encode_ctc")
-            ctc_out = ctc_out + boost
-            shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
-            att_out, ylen = model.apply(params, enc_h, enc_mask, shift,
-                                        ylen0, umax, method="nat_decode")
-            toks = att_out.argmax(-1)
-            return acc + toks.sum() + ylen.sum()
+            out = nat_decode_jit(model, params, f, mask,
+                                 jax.random.fold_in(key, 500 + i), umax=umax)
+            return acc + out["tokens"].sum() + out["lengths"].sum()
         return jax.lax.fori_loop(0, n_inner, body, jnp.zeros((), jnp.int32))
 
-    # compile + warmup
-    note("compiling NAST decode loop")
-    np.asarray(loop_decode(params, base, jax.random.PRNGKey(99)))
-    note("NAST decode compiled")
-
+    note("compiling greedy decode loop (shipped nat_decode_jit)")
+    np.asarray(loop_greedy(cal["mid"], base, jax.random.PRNGKey(99)))
+    note("greedy compiled")
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        np.asarray(loop_decode(params, base, jax.random.PRNGKey(i)))
+        np.asarray(loop_greedy(cal["mid"], base, jax.random.PRNGKey(i)))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / n_inner
+    greedy_rtf = dt / (batch * secs)
 
-    audio_seconds = batch * secs
-    rtf = dt / audio_seconds
-    baseline_rtf = 0.011  # reference README.md:33
-
-    # ---- ESA parity config (the WER-bearing decode):
-    # sample_num=50 sampled alignments + 16-layer transformer-LM ranking
-    # (reference: egs/librispeech/conf/cassnat_decode.yaml:36-56 + lm.yaml;
-    # reference cassnat.py:441-573). Smaller utterance batch: the decoder
-    # batch is batch*sample_num.
-    from cassnat_asr_public_tpu.models.lm import TransformerLM
-
-    esa_batch, sample_num = 16, 50
-    lm = TransformerLM(4999, n_layers=16, d_model=512, d_ff=2048, n_head=8,
+    # ---- primary: ESA parity config through the shipped path ----
+    # sample_num=50 thr 0.9 + 16L transformer-LM ranking
+    # (reference: conf/cassnat_decode.yaml + lm.yaml, cassnat.py:441-573)
+    esa_batch, sample_num, esa_inner = (2, 8, 1) if smoke else (16, 50, 3)
+    lm = TransformerLM(args.vocab_size, n_layers=2 if smoke else 16,
+                       d_model=args.d_model, d_ff=args.d_ff, n_head=8,
                        dropout=0.0, compute_dtype=jnp.bfloat16)
     lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 8), jnp.int32))
     base_esa = base[:esa_batch]
     mask_esa = mask[:esa_batch]
 
-    def make_esa_loop(topk):
-        # topk=0: the reference-parity config (all 50 candidates ranked).
-        # topk>0: TPU-native CTC-path-score preselection (nat_decode_jit
-        # esa_topk) — NAT + LM rank run on topk candidates only.
-        n_cand = topk or sample_num
+    def lm_apply(p, ys, f, m):
+        return lm.apply(p, ys, method="forward_logits")
 
+    def esa_call(params, f, key, dedup_align=0, dedup_rank=0):
+        return nat_decode_jit(
+            model, params, f, mask_esa, key, umax=umax,
+            sample_num=sample_num, threshold=0.9, rank_model="lm",
+            lm_apply=lm_apply, lm_params=lm_params, lm_apply_logits=True,
+            dedup_align=dedup_align, dedup_rank=dedup_rank)
+
+    def make_esa_loop(dedup_align=0, dedup_rank=0):
         @jax.jit
-        def loop_esa(params, lm_params, base, key):
+        def loop_esa(params, lm_p, base, key):
             def body(i, acc):
                 f = base + jax.random.normal(
                     jax.random.fold_in(key, i), base.shape) * 1e-6
-                enc_h, enc_mask, ctc_out = model.apply(
-                    params, f, mask_esa, method="encode_ctc")
-                ctc_out = ctc_out + boost
-                krng = jax.random.fold_in(key, 1000 + i)
-                if topk:
-                    shift, ylen0, psc = ctc_sampled_align(
-                        ctc_out, enc_mask, sample_num, threshold=0.9,
-                        rng=krng, return_scores=True)
-                    idx = jax.lax.top_k(
-                        psc.reshape(esa_batch, sample_num), topk)[1]
-                    flat = (jnp.arange(esa_batch)[:, None] * sample_num
-                            + idx).reshape(-1)
-                    shift, ylen0 = shift[flat], ylen0[flat]
-                else:
-                    shift, ylen0 = ctc_sampled_align(
-                        ctc_out, enc_mask, sample_num, threshold=0.9,
-                        rng=krng)
-                rep = lambda x: jnp.repeat(x, n_cand, axis=0)
-                enc_r, mask_r = rep(enc_h), rep(enc_mask)
-                att_out, ylen = model.apply(params, enc_r, mask_r, shift,
-                                            ylen0, umax,
-                                            method="nat_decode",
-                                            return_logits=True)
-                att_pred = att_out.argmax(-1)
-                # LM ranking (reference: cassnat.py:499-535)
-                sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
-                lm_out = lm.apply(lm_params,
-                                  jnp.concatenate([sos, att_pred[:, :-1]],
-                                                  1),
-                                  method="forward_logits")
-                tok_scores = jnp.take_along_axis(
-                    lm_out, att_pred[..., None], axis=-1)[..., 0] \
-                    .astype(jnp.float32) - jax.nn.logsumexp(
-                        lm_out.astype(jnp.float32), axis=-1)
-                slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
-                tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
-                cand = tok_scores.sum(-1) / jnp.maximum(
-                    slot_valid.sum(-1), 1)
-                best = cand.reshape(esa_batch, n_cand).argmax(-1)
-                sel = att_pred.reshape(esa_batch, n_cand, umax)[
-                    jnp.arange(esa_batch), best]
-                return acc + sel.sum()
-            return jax.lax.fori_loop(0, 3, body, jnp.zeros((), jnp.int32))
+                out = nat_decode_jit(
+                    model, params, f, mask_esa,
+                    jax.random.fold_in(key, 1000 + i), umax=umax,
+                    sample_num=sample_num, threshold=0.9, rank_model="lm",
+                    lm_apply=lm_apply, lm_params=lm_p,
+                    lm_apply_logits=True, dedup_align=dedup_align,
+                    dedup_rank=dedup_rank)
+                return acc + out["tokens"].sum() + out["lengths"].sum()
+            return jax.lax.fori_loop(0, esa_inner, body,
+                                     jnp.zeros((), jnp.int32))
         return loop_esa
 
-    def time_esa(loop_esa):
-        np.asarray(loop_esa(params, lm_params, base_esa,
-                            jax.random.PRNGKey(98)))
+    def time_loop(loop, params, base_in, warm_key=98):
+        np.asarray(loop(params, lm_params, base_in,
+                        jax.random.PRNGKey(warm_key)))
         ts = []
         for i in range(2):
             t0 = time.perf_counter()
-            np.asarray(loop_esa(params, lm_params, base_esa,
-                                jax.random.PRNGKey(10 + i)))
+            np.asarray(loop(params, lm_params, base_in,
+                            jax.random.PRNGKey(10 + i)))
             ts.append(time.perf_counter() - t0)
-        return (float(np.median(ts)) / 3) / (esa_batch * secs)
+        return (float(np.median(ts)) / esa_inner) / (esa_batch * secs)
 
-    # The remote compile service is high-variance; never let the ESA
-    # sections prevent the primary metric from printing.
-    esa_rtf = esa_topk_rtf = None
+    result = {
+        "metric": "nast_esa_decode_rtf",
+        "unit": "rtf, ESA parity config (sample_num=50 thr=0.9 + 16L "
+                "transformer-LM rank, batch=16, shipped nat_decode_jit, "
+                "exact candidate dedup), 10%-low-confidence emission "
+                "profile",
+        "greedy_rtf": round(greedy_rtf, 7),
+        "greedy_vs_baseline": round(BASELINE_RTF / greedy_rtf, 2),
+        "greedy_utts_per_sec_chip": round(batch / dt, 1),
+        "mean_ylen": round(mean_ylen, 1),
+        "emission_profiles_lowconf_frac": profiles,
+    }
+
+    # The remote compile service is high-variance; never let later sections
+    # suppress what has already been measured.
     try:
-        note("compiling ESA parity loop")
-        esa_rtf = time_esa(make_esa_loop(0))
-        note("ESA parity done; compiling ESA topk16 loop")
-        esa_topk_rtf = time_esa(make_esa_loop(16))
-        note("ESA topk16 done")
+        note("compiling ESA no-dedup loop")
+        esa_nodedup_rtf = time_loop(make_esa_loop(), cal["mid"], base_esa)
+        result.update(
+            esa_nodedup_rtf=round(esa_nodedup_rtf, 6),
+            esa_nodedup_vs_baseline=round(BASELINE_RTF / esa_nodedup_rtf,
+                                          2))
+        note(f"ESA no-dedup rtf={esa_nodedup_rtf:.2e}")
+
+        for name in ("mid", "peaked"):
+            p = cal[name]
+            # probe: full-cap dedup run reports per-utterance unique counts
+            note(f"[{name}] probing unique-candidate statistics")
+            ua, ur = [], []
+            for i in range(3):
+                f = base_esa + jax.random.normal(
+                    jax.random.PRNGKey(200 + i), base_esa.shape) * 1e-6
+                probe = esa_call(p, f, jax.random.PRNGKey(300 + i),
+                                 dedup_align=sample_num - 1,
+                                 dedup_rank=sample_num - 2)
+                ua.append(np.asarray(probe["n_unique_align"]))
+                ur.append(np.asarray(probe["n_unique_rank"]))
+            ua, ur = np.concatenate(ua), np.concatenate(ur)
+            # +1 margin: the probe itself saw sample_num-1 candidates
+            c1 = min(int(-(-(int(ua.max()) + 1) // 8) * 8), sample_num - 1)
+            c2 = min(int(-(-(int(ur.max()) + 1) // 8) * 8), sample_num - 1)
+            note(f"[{name}] unique align mean={ua.mean():.1f} "
+                 f"max={ua.max()} rank mean={ur.mean():.1f} "
+                 f"max={ur.max()} -> caps=({c1},{c2})")
+
+            # exactness: dedup output must match the undeduped rank
+            f = base_esa + jax.random.normal(
+                jax.random.PRNGKey(400), base_esa.shape) * 1e-6
+            full = esa_call(p, f, jax.random.PRNGKey(401))
+            ded = esa_call(p, f, jax.random.PRNGKey(401),
+                           dedup_align=c1, dedup_rank=c2)
+            exact = bool(np.array_equal(np.asarray(full["tokens"]),
+                                        np.asarray(ded["tokens"])))
+            note(f"[{name}] dedup exact_match={exact}")
+
+            note(f"[{name}] timing deduped ESA loop")
+            rtf = time_loop(make_esa_loop(c1, c2), p, base_esa)
+            note(f"[{name}] ESA dedup rtf={rtf:.2e}")
+            result.update({
+                f"esa_dedup_{name}_rtf": round(rtf, 6),
+                f"esa_dedup_{name}_vs_baseline": round(BASELINE_RTF / rtf,
+                                                       2),
+                f"esa_dedup_{name}_caps": [c1, c2],
+                f"esa_{name}_unique_align_mean": round(float(ua.mean()), 1),
+                f"esa_{name}_unique_align_max": int(ua.max()),
+                f"esa_{name}_unique_rank_mean": round(float(ur.mean()), 1),
+                f"esa_{name}_unique_rank_max": int(ur.max()),
+                f"esa_dedup_{name}_exact_match": exact,
+            })
+            if name == "mid":
+                result["value"] = round(rtf, 6)
+                result["vs_baseline"] = round(BASELINE_RTF / rtf, 2)
     except Exception as e:  # pragma: no cover - infra failure path
         note(f"ESA section failed: {e!r}")
 
-    result = {
-        "metric": "nast_batched_decode_rtf",
-        "value": round(rtf, 6),
-        "unit": f"rtf (decode_s/audio_s), batch={batch}, conformer-CASSNAT "
-                "d512, steady-state device loop",
-        "vs_baseline": round(baseline_rtf / rtf, 2),
-        "utts_per_sec_chip": round(batch / dt, 1),
-    }
-    if esa_rtf is not None:
-        result.update(
-            esa_rtf=round(esa_rtf, 6),
-            esa_vs_baseline=round(baseline_rtf / esa_rtf, 2),
-            esa_unit="rtf, ESA parity config: sample_num=50 thr=0.9 + "
-                     "16L transformer-LM ranking, batch=16")
-    if esa_topk_rtf is not None:
-        result.update(
-            esa_topk16_rtf=round(esa_topk_rtf, 6),
-            esa_topk16_vs_baseline=round(baseline_rtf / esa_topk_rtf, 2),
-            esa_topk16_unit="rtf, same config with esa_topk=16 CTC-path "
-                            "preselection (TPU-native extension, default "
-                            "off)")
+    if "value" not in result:
+        # infra fallback: the primary metric must always print
+        if "esa_nodedup_rtf" in result:
+            result["value"] = result["esa_nodedup_rtf"]
+            result["vs_baseline"] = result["esa_nodedup_vs_baseline"]
+            result["unit"] += " (dedup sections failed; no-dedup value)"
+        else:
+            result["metric"] = "nast_batched_decode_rtf"
+            result["value"] = round(greedy_rtf, 7)
+            result["vs_baseline"] = round(BASELINE_RTF / greedy_rtf, 2)
+            result["unit"] = ("rtf, greedy best-path batch=32 (ESA "
+                              "sections failed)")
     print(json.dumps(result))
 
 

@@ -219,8 +219,7 @@ class CassNATTask(BaseTask):
                 from cassnat_asr_public_tpu.models.lm import TransformerLM
                 fusion_lm = self.lm_model if isinstance(
                     self.lm_model, TransformerLM) else None
-                out = nat_decode_jit(
-                    self.model, self.state.params, feats, mask, sub,
+                kw = dict(
                     umax=umax, sample_num=sample_num,
                     threshold=getattr(args, "threshold", 0.9),
                     rank_model=("host" if rank_model == "n-gram"
@@ -234,6 +233,8 @@ class CassNATTask(BaseTask):
                     lm_apply_logits=getattr(self, "lm_apply_logits",
                                             False),
                     **self._decode_text_kwargs(feats, mask))
+                out = self._nat_decode_dedup(args, feats, mask, sub,
+                                             sample_num, kw)
                 if "cand_tokens" in out:
                     out = self._rank_ngram(out)
             if getattr(args, "test_hitrate", False):
@@ -253,6 +254,40 @@ class CassNATTask(BaseTask):
             for d in sorted(diffs):
                 print(f"utt2diff {d} {diffs[d]}", flush=True)
         return results, elapsed
+
+    def _nat_decode_dedup(self, args, feats, mask, rng, sample_num, kw):
+        """ESA decode with exact candidate dedup and overflow-safe caps.
+
+        Config keys `esa_dedup` (alignment-dedup cap before the NAT pass)
+        and `esa_rank_dedup` (token-dedup cap before the rank model) cut
+        the candidate batch the expensive stages see. Dedup is exact as
+        long as the caps cover the per-utterance unique counts; the jitted
+        decode reports those counts, and on overflow the cap doubles (up
+        to sample_num = no dedup) and the batch re-runs, preserving output
+        equality with the undeduped reference semantics
+        (reference ranks all sample_num candidates: cassnat.py:441-573).
+        """
+        dedup_align = min(getattr(args, "esa_dedup", 0), sample_num)
+        dedup_rank = min(getattr(args, "esa_rank_dedup", 0), sample_num)
+        while True:
+            out = nat_decode_jit(
+                self.model, self.state.params, feats, mask, rng,
+                dedup_align=(dedup_align if dedup_align < sample_num else 0),
+                dedup_rank=(dedup_rank if dedup_rank < sample_num else 0),
+                **kw)
+            grew = False
+            if "n_unique_align" in out and \
+                    int(np.asarray(out["n_unique_align"]).max()) > \
+                    dedup_align:
+                dedup_align = min(dedup_align * 2, sample_num)
+                grew = True
+            if not grew and "n_unique_rank" in out and \
+                    int(np.asarray(out["n_unique_rank"]).max()) > \
+                    dedup_rank:
+                dedup_rank = min(dedup_rank * 2, sample_num)
+                grew = True
+            if not grew:
+                return out
 
     def _rank_ngram(self, out):
         """Rank ESA candidates by ARPA n-gram sentence score / length.

@@ -47,11 +47,47 @@ def _repeat_batch(x, n):
     return jnp.repeat(x, n, axis=0)
 
 
+def _row_hashes(rows, lens):
+    """Two independent 32-bit universal hashes of integer rows + lengths.
+
+    rows: (N, T) int; lens: (N,) int. A collision requires both 32-bit
+    hashes AND the mixed-in length to agree — negligible at ESA candidate
+    counts. Used for exact duplicate detection of alignment / token rows.
+    """
+    t = rows.shape[1]
+    r1 = jax.random.randint(jax.random.PRNGKey(0xC0FFEE), (t,),
+                            0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+    r2 = jax.random.randint(jax.random.PRNGKey(0xBEEF), (t,),
+                            0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+    u = rows.astype(jnp.uint32)
+    h1 = (u * r1[None, :]).sum(-1) * jnp.uint32(2654435761) \
+        + lens.astype(jnp.uint32)
+    h2 = (u * r2[None, :]).sum(-1) * jnp.uint32(40503) \
+        + lens.astype(jnp.uint32)
+    return h1, h2
+
+
+def _group_dedup(h1, h2, bs, n_cand):
+    """Per-utterance duplicate marking from row hashes.
+
+    Returns (is_dup (B, S) bool — True where an earlier row in the same
+    utterance group has identical hashes, n_unique (B,) int32).
+    """
+    g1 = h1.reshape(bs, n_cand)
+    g2 = h2.reshape(bs, n_cand)
+    eq = (g1[:, :, None] == g1[:, None, :]) & \
+         (g2[:, :, None] == g2[:, None, :])
+    rep = jnp.argmax(eq, axis=-1)  # first occurrence index per row
+    is_dup = rep != jnp.arange(n_cand)[None, :]
+    return is_dup, (~is_dup).sum(-1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("model", "umax", "sample_num",
                                   "rank_model", "threshold", "lm_apply",
                                   "beam_width", "lm_weight", "align",
                                   "lm_model", "esa_topk",
-                                  "lm_apply_logits"))
+                                  "lm_apply_logits", "dedup_align",
+                                  "dedup_rank"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -61,7 +97,8 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    labels=None, label_sizes=None,
                    ext_shift=None, ext_ylen=None, lm_model=None,
                    text_input=None, text_mask=None, esa_topk: int = 0,
-                   lm_apply_logits: bool = False):
+                   lm_apply_logits: bool = False, dedup_align: int = 0,
+                   dedup_rank: int = 0):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -78,6 +115,23 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     lm_apply(lm_params, tokens, feats, src_mask) -> (N, L, V) log-probs; the
     'lm' flavor ignores feats/src_mask, 'at_baseline' runs the AST decoder
     over its own encoding of the same utterances.
+
+    ESA candidate dedup (TPU-native; the reference ranks all sample_num
+    candidates incl. exact duplicates, cassnat.py:441-573):
+      dedup_align > 0: duplicate sampled ALIGNMENTS — identical
+        (shift, ylen) rows, which produce bit-identical NAT outputs — are
+        pushed behind the uniques (ordered densest-first by CTC path score)
+        and only the first `dedup_align` rows per utterance reach the NAT
+        decoder. Output is provably identical to the undeduped decode
+        whenever dedup_align >= max per-utterance unique count (reported as
+        `n_unique_align`); below that it degrades gracefully into
+        density-topk (the argmax row always survives).
+      dedup_rank > 0 (with rank_model lm/at_baseline/host): duplicate NAT
+        OUTPUT token sequences — identical (att_pred, ylen) rows, which get
+        identical rank scores, and whose winner's output tokens are shared
+        by every group member — are deduped the same way before the rank
+        model runs; `n_unique_rank` is reported. Exact under the same
+        cap condition.
     """
     bs = feats.shape[0]
     enc_h, enc_mask, ctc_out = model.apply(
@@ -103,7 +157,24 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         # + expanded top_k measured 745 ms of the ~1 s ESA iteration;
         # benchmarks/esa_stage_bench.py).
         from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
-        if esa_topk and esa_topk < sample_num:
+        if dedup_align and dedup_align < sample_num:
+            # Stage-1 dedup: identical alignments -> identical NAT outputs;
+            # run the NAT decoder once per unique alignment.
+            shift, ylen0, psc = ctc_sampled_align(
+                ctc_out, enc_mask_1x, sample_num, threshold=threshold,
+                rng=rng, return_scores=True)
+            h1, h2 = _row_hashes(shift, ylen0)
+            is_dup, n_unique_align = _group_dedup(h1, h2, bs, sample_num)
+            # uniques first (densest-first within each class); duplicates
+            # trail and are cut by the cap. |psc| <= T*|log p| << 1e30.
+            key = is_dup.astype(jnp.float32) * 1e30 \
+                - psc.reshape(bs, sample_num)
+            order = jnp.argsort(key, axis=-1)
+            sel = order[:, :dedup_align]
+            flat = (jnp.arange(bs)[:, None] * sample_num + sel).reshape(-1)
+            shift, ylen0 = shift[flat], ylen0[flat]
+            n_cand = dedup_align
+        elif esa_topk and esa_topk < sample_num:
             # TPU-native EXTENSION (default off): preselect the esa_topk
             # highest-CTC-path-probability sampled alignments per utterance
             # before the expensive NAT + rank passes. The argmax candidate
@@ -149,7 +220,31 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     att_pred = att_out.argmax(-1)  # (N, umax)
     slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
 
+    stats = {}
+    if align not in ("oracle", "external") and sample_num > 1 \
+            and dedup_align and dedup_align < sample_num:
+        stats["n_unique_align"] = n_unique_align
     if n_cand > 1:
+        if dedup_rank and dedup_rank < n_cand and \
+                rank_model in ("lm", "at_baseline", "host"):
+            # Stage-2 dedup: candidates whose NAT OUTPUT token sequences
+            # coincide get identical rank scores, and the winning group's
+            # output tokens are shared by every member — rank one
+            # representative per unique sequence.
+            toks_masked = jnp.where(slot_valid, att_pred, 0)
+            th1, th2 = _row_hashes(toks_masked, ylen)
+            is_dup_r, n_unique_rank = _group_dedup(th1, th2, bs, n_cand)
+            stats["n_unique_rank"] = n_unique_rank
+            order_r = jnp.argsort(is_dup_r.astype(jnp.int32), axis=-1,
+                                  stable=True)
+            sel_r = order_r[:, :dedup_rank]
+            flat_r = (jnp.arange(bs)[:, None] * n_cand + sel_r).reshape(-1)
+            att_pred = att_pred[flat_r]
+            att_out = att_out[flat_r]
+            ylen = ylen[flat_r]
+            n_cand = dedup_rank
+            n = bs * n_cand
+            slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
         if rank_model == "host":
             # Host-side ranking (n-gram ARPA scorer): hand all candidates
             # back; the task detokenizes and ranks them on host
@@ -159,6 +254,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                                          0).reshape(bs, n_cand, umax),
                 "cand_lengths": jnp.maximum(ylen - 1,
                                             0).reshape(bs, n_cand),
+                **stats,
             }
         if rank_model in ("lm", "at_baseline"):
             sos = jnp.ones((n, 1), att_pred.dtype)
@@ -201,8 +297,10 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     if beam_width > 1:
         # per-position beam with KV-cached LM fusion
         # (reference: cassnat.py:574-637)
-        return nat_position_beam(att_out_sel, ylen, lm_model, lm_params,
-                                 beam_width=beam_width, lm_weight=lm_weight)
+        out = nat_position_beam(att_out_sel, ylen, lm_model, lm_params,
+                                beam_width=beam_width, lm_weight=lm_weight)
+        out.update(stats)
+        return out
 
     if lm_weight > 0 and lm_apply is not None:
         sos = jnp.ones((att_pred.shape[0], 1), att_pred.dtype)
@@ -216,7 +314,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         att_pred = fused.argmax(-1)
 
     tokens = jnp.where(slot_valid, att_pred, 0)
-    return {"tokens": tokens, "lengths": jnp.maximum(ylen - 1, 0)}
+    return {"tokens": tokens, "lengths": jnp.maximum(ylen - 1, 0), **stats}
 
 
 @partial(jax.jit, static_argnames=("model",))

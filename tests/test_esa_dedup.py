@@ -1,0 +1,126 @@
+"""ESA candidate dedup: exactness vs the undeduped ranked decode.
+
+The dedup stages (utils/decoding.py nat_decode_jit dedup_align/dedup_rank)
+must produce output identical to ranking all sample_num candidates whenever
+the caps cover the per-utterance unique counts (the reference ranks every
+candidate incl. duplicates; reference: src/models/cassnat.py:441-573).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cassnat_asr_public_tpu.utils.decoding import (
+    _group_dedup,
+    _row_hashes,
+    nat_decode_jit,
+)
+
+
+def test_row_hash_group_dedup_matches_numpy():
+    rng = np.random.default_rng(0)
+    bs, s, t = 3, 10, 17
+    rows = rng.integers(0, 4, size=(bs * s, t)).astype(np.int32)
+    # plant exact duplicates
+    rows[1] = rows[0]
+    rows[4] = rows[0]
+    rows[s + 3] = rows[s + 1]
+    lens = (rows != 0).sum(-1).astype(np.int32)
+    h1, h2 = _row_hashes(jnp.asarray(rows), jnp.asarray(lens))
+    is_dup, n_unique = _group_dedup(h1, h2, bs, s)
+    is_dup = np.asarray(is_dup)
+    n_unique = np.asarray(n_unique)
+    for b in range(bs):
+        seen = set()
+        for j in range(s):
+            key = rows[b * s + j].tobytes()
+            assert bool(is_dup[b, j]) == (key in seen)
+            seen.add(key)
+        assert n_unique[b] == len(seen)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _tiny_cassnat
+
+    model = _tiny_cassnat()
+    rng = jax.random.PRNGKey(0)
+    bs, t, fdim = 3, 64, 40
+    feats = jax.random.normal(rng, (bs, t, fdim), jnp.float32)
+    mask = jnp.ones((bs, t), bool)
+    labels = jnp.concatenate(
+        [jax.random.randint(rng, (bs, 8), 3, 64),
+         jnp.full((bs, 1), 2, jnp.int32)], axis=1)
+    params = model.init({"params": rng}, feats, mask, labels,
+                        jnp.full((bs,), 8, jnp.int32))
+    # Sharpen the CTC head so posteriors are peaked like a trained model's:
+    # only a few frames fall below the sampling threshold, so the sampled
+    # alignments contain many exact duplicates (the regime dedup targets).
+    params = jax.tree_util.tree_map(lambda x: x, params)  # copy
+    gen = params["params"]["ctc_generator"]["proj"]
+    gen["kernel"] = gen["kernel"] * 60.0
+    gen["bias"] = gen["bias"] * 60.0
+
+    def lm_apply(lm_params, ys, f, m):
+        # deterministic toy "LM": fixed random per-(position, token) logits
+        v = 64
+        tab = jax.random.normal(jax.random.PRNGKey(7), (ys.shape[1], v))
+        return jnp.broadcast_to(tab[None], (ys.shape[0],) + tab.shape)
+
+    return model, params, feats, mask, lm_apply
+
+
+SAMPLE_NUM = 8
+
+
+def _decode(model, params, feats, mask, lm_apply, **kw):
+    return nat_decode_jit(
+        model, params, feats, mask, jax.random.PRNGKey(5), umax=24,
+        sample_num=SAMPLE_NUM, threshold=0.9, rank_model="lm",
+        lm_apply=lm_apply, lm_apply_logits=True, **kw)
+
+
+def test_dedup_align_exact(tiny_setup):
+    model, params, feats, mask, lm_apply = tiny_setup
+    full = _decode(model, params, feats, mask, lm_apply)
+    probe = _decode(model, params, feats, mask, lm_apply,
+                    dedup_align=SAMPLE_NUM - 1)
+    n_unique = int(np.asarray(probe["n_unique_align"]).max())
+    assert n_unique < SAMPLE_NUM - 1, \
+        f"fixture not peaked enough: {n_unique} uniques of {SAMPLE_NUM}"
+    dedup = _decode(model, params, feats, mask, lm_apply,
+                    dedup_align=max(n_unique, 2))
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(dedup["tokens"]))
+    np.testing.assert_array_equal(np.asarray(full["lengths"]),
+                                  np.asarray(dedup["lengths"]))
+
+
+def test_dedup_rank_exact(tiny_setup):
+    model, params, feats, mask, lm_apply = tiny_setup
+    full = _decode(model, params, feats, mask, lm_apply)
+    probe = _decode(model, params, feats, mask, lm_apply,
+                    dedup_rank=SAMPLE_NUM - 1)
+    n_unique = int(np.asarray(probe["n_unique_rank"]).max())
+    assert n_unique < SAMPLE_NUM - 1
+    dedup = _decode(model, params, feats, mask, lm_apply,
+                    dedup_rank=max(n_unique, 2))
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(dedup["tokens"]))
+
+
+def test_dedup_both_stages_exact(tiny_setup):
+    model, params, feats, mask, lm_apply = tiny_setup
+    full = _decode(model, params, feats, mask, lm_apply)
+    probe = _decode(model, params, feats, mask, lm_apply,
+                    dedup_align=SAMPLE_NUM - 1, dedup_rank=SAMPLE_NUM - 2)
+    c1 = int(np.asarray(probe["n_unique_align"]).max())
+    c2 = int(np.asarray(probe["n_unique_rank"]).max())
+    dedup = _decode(model, params, feats, mask, lm_apply,
+                    dedup_align=max(c1, 2), dedup_rank=max(c2, 2))
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(dedup["tokens"]))
