@@ -213,7 +213,7 @@ class SpeechDataLoader:
                  shuffle: bool = False, shard: Tuple[int, int] = (0, 1),
                  frame_bucket: int = 64, label_bucket: int = 8,
                  augment: bool = True, seed: int = 0,
-                 pad_to_batch: bool = True):
+                 pad_to_batch: bool = True, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.padding_idx = padding_idx
@@ -225,6 +225,7 @@ class SpeechDataLoader:
         self.seed = seed
         self.epoch = 0
         self.pad_to_batch = pad_to_batch
+        self.prefetch = prefetch
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -257,8 +258,54 @@ class SpeechDataLoader:
         return len(self._batch_indices())
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for batch in self._batch_indices():
-            yield self.collate(batch)
+        """Iterate collated batches, loading/augmenting in a background
+        thread so input prep overlaps the device step.
+
+        The reference overlaps via multi-worker torch DataLoaders
+        (reference: src/tasks/base_task.py:104 num_workers); here a single
+        daemon thread with a bounded queue suffices — collate is
+        numpy-bound and releases the GIL in BLAS/IO, and the device step
+        dominates the step time.
+        """
+        batches = self._batch_indices()
+        if self.prefetch <= 0 or len(batches) <= 1:
+            for batch in batches:
+                yield self.collate(batch)
+            return
+        import queue
+        import threading
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self.collate(b))
+                q.put(SENTINEL)
+            except BaseException as e:  # surface loader errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked put() can observe stop and exit
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def collate(self, batch) -> Dict[str, np.ndarray]:
         loaded = [self.dataset.load_item(it, augment=self.augment)

@@ -82,6 +82,24 @@ class CachedSelfAttention(nn.Module):
         out = self._attend(q, cache_k, cache_v, mask, True)
         return out, cache_k, cache_v
 
+    def step_at(self, x_t, cache_k, cache_v, pos):
+        """One-token step with PER-ROW write positions. pos: (B,).
+
+        Used by the frame-synchronous CTC beam, whose hypotheses grow at
+        different rates (unlike the label-synchronous AR beam where every
+        live beam has the same length)."""
+        q = self._heads(self.q_proj(x_t))
+        k_t = self._heads(self.k_proj(x_t))
+        v_t = self._heads(self.v_proj(x_t))
+        lmax = cache_k.shape[1]
+        at = (jnp.arange(lmax)[None, :] == pos[:, None])[..., None, None]
+        cache_k = jnp.where(at, k_t, cache_k)
+        cache_v = jnp.where(at, v_t, cache_v)
+        mask = (jnp.arange(lmax)[None, None, None, :] <= pos[:, None, None,
+                                                            None])
+        out = self._attend(q, cache_k, cache_v, mask, True)
+        return out, cache_k, cache_v
+
 
 class LMLayer(nn.Module):
     d_model: int
@@ -110,6 +128,13 @@ class LMLayer(nn.Module):
 
     def step(self, x_t, cache_k, cache_v, pos):
         h, ck, cv = self.self_attn.step(self.norm1(x_t), cache_k, cache_v, pos)
+        x_t = x_t + h
+        x_t = x_t + self.ff(self.norm2(x_t), deterministic=True)
+        return x_t, ck, cv
+
+    def step_at(self, x_t, cache_k, cache_v, pos):
+        h, ck, cv = self.self_attn.step_at(self.norm1(x_t), cache_k,
+                                           cache_v, pos)
         x_t = x_t + h
         x_t = x_t + self.ff(self.norm2(x_t), deterministic=True)
         return x_t, ck, cv
@@ -187,6 +212,25 @@ class TransformerLM(nn.Module):
         for i, layer in enumerate(self.layers):
             ck, cv = cache[f"layer{i}"]
             x, ck, cv = layer.step(x, ck, cv, pos)
+            new_cache[f"layer{i}"] = (ck, cv)
+        logp = self.generator(self.norm(x))[:, 0]
+        return logp, new_cache
+
+    def score_step_at(self, token, cache, pos):
+        """`score_step` with PER-ROW write positions (pos: (B,)).
+
+        Feeds token[b] at position pos[b] of row b's cache and returns the
+        next-token log-probs given each row's own prefix — the primitive
+        the frame-synchronous CTC beam needs, since its hypotheses have
+        ragged lengths (reference: src/utils/beam_decode.py:31-55 queries
+        the LM per frame on ragged prefixes)."""
+        x = self.embed(token[:, None])
+        pe = jnp.asarray(sinusoidal_position_encoding(5000, self.d_model))
+        x = x + pe[pos][:, None, :]
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            ck, cv = cache[f"layer{i}"]
+            x, ck, cv = layer.step_at(x, ck, cv, pos)
             new_cache[f"layer{i}"] = (ck, cv)
         logp = self.generator(self.norm(x))[:, 0]
         return logp, new_cache

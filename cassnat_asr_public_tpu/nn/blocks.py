@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cassnat_asr_public_tpu.parallel.mesh import constrain_activation
 from cassnat_asr_public_tpu.nn.modules import (
     ConvModule,
     LayerNorm,
@@ -96,6 +97,7 @@ class TrfEncoder(nn.Module):
             x = layer_cls(self.d_model, self.n_head, self.d_ff, self.dropout,
                           self.compute_dtype, name=f"layer{i}")(
                 x, mask, deterministic)
+            x = constrain_activation(x)
             if interctc_layer > 0 and i == interctc_layer - 1:
                 inter = x
         x = LayerNorm(name="norm")(x)
@@ -175,6 +177,7 @@ class ConEncoder(nn.Module):
                           self.share_ff,
                           compute_dtype=self.compute_dtype,
                           name=f"layer{i}")(x, mask, pos_embed, deterministic)
+            x = constrain_activation(x)
             if interctc_layer > 0 and i == interctc_layer - 1:
                 inter = x
         x = LayerNorm(name="norm")(x)
@@ -392,6 +395,7 @@ class TrfSAD(nn.Module):
             x = TrfEncoderLayer(self.d_model, self.n_head, self.d_ff,
                                 self.dropout, self.compute_dtype,
                                 name=f"layer{i}")(x, mask, deterministic)
+            x = constrain_activation(x)
             if interce_layer > 0 and i == interce_layer - 1:
                 inter = x
         return (x, inter) if interce_layer > 0 else (x, None)
@@ -424,6 +428,7 @@ class ConSAD(nn.Module):
                                 compute_dtype=self.compute_dtype,
                                 name=f"layer{i}")(x, mask, pos_embed,
                                                   deterministic)
+            x = constrain_activation(x)
             if interce_layer > 0 and i == interce_layer - 1:
                 inter = x
         return (x, inter) if interce_layer > 0 else (x, None)
@@ -450,6 +455,7 @@ class TrfMAD(nn.Module):
                                 self.dropout, self.compute_dtype,
                                 name=f"layer{i}")(x, memory, src_mask,
                                                   tgt_mask, deterministic)
+            x = constrain_activation(x)
             if interce_layer > 0 and i == interce_layer - 1:
                 inter = x
         x = LayerNorm(name="norm")(x)
@@ -523,6 +529,7 @@ class ConMAD(nn.Module):
                             compute_dtype=self.compute_dtype,
                             name=f"layer{i}")(x, memory, src_mask, tgt_mask,
                                               pos_embed, deterministic)
+            x = constrain_activation(x)
             if interce_layer > 0 and i == interce_layer - 1:
                 inter = x
         x = LayerNorm(name="norm")(x)
@@ -583,6 +590,7 @@ class Mix3AttDecoder(nn.Module):
                                     name=f"layer{i}")(
                 x, memory_audio, memory_text, src_mask_audio, src_mask_text,
                 tgt_mask, deterministic)
+            x = constrain_activation(x)
             if interce_layer > 0 and i == interce_layer - 1:
                 inter = x
         x = LayerNorm(name="norm")(x)

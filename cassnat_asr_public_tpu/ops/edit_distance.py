@@ -74,10 +74,9 @@ def att_greedy_errors(att_out, labels, label_lens, eos: int = 2):
     """(sum errors, sum ref tokens) of per-slot argmax predictions,
     eos-truncated, vs labels (reference: src/utils/wer.py:31-52)."""
     pred = att_out.argmax(-1).astype(jnp.int32)  # (B, U)
-    hit_eos = jnp.cumsum((pred == eos).astype(jnp.int32), axis=1) > 0
-    before_eos = jnp.concatenate(
-        [jnp.zeros_like(hit_eos[:, :1]), hit_eos[:, :-1]], axis=1)
-    keep = ~before_eos
+    # keep slots strictly before the first eos (the eos itself is dropped,
+    # like the host break)
+    keep = ~(jnp.cumsum((pred == eos).astype(jnp.int32), axis=1) > 0)
     hyp = jnp.where(keep, pred, 0)
     hyp_lens = keep.sum(-1).astype(jnp.int32)
     # labels are eos-free padded rows; compare prefixes

@@ -104,30 +104,91 @@ def shard_batch(batch: dict, mesh: Mesh, multi_host: Optional[bool] = None
 
 
 def param_sharding_rules(params, mesh: Mesh, model_axis: str = "model"):
-    """NamedShardings for the param tree.
+    """NamedShardings for the param tree — Megatron-style tensor
+    parallelism expressed purely as shardings; XLA GSPMD inserts the
+    collectives over ICI.
 
-    Default layout: replicate everything over 'data'; shard the widest
-    matmuls over 'model' when the mesh has a model axis > 1 — FFN kernels
-    (d_model, d_ff) split on d_ff, their second kernels on d_model input,
-    and vocab projections on the vocab dim. This is standard Megatron-style
-    tensor parallelism expressed purely as shardings; XLA inserts the
-    all-reduces.
+    Layout over 'model' (replicated over 'data'):
+      * attention q/k/v kernels (d, d): column-parallel P(None, model) —
+        heads live in the output dim, so this is head parallelism;
+      * attention output kernel (d, d): row-parallel P(model, None)
+        (its all-reduce restores the replicated residual stream);
+      * FFN up-projection (d, d_ff): column-parallel; FFN down-projection
+        (d_ff, d): row-parallel;
+      * vocab projections (generator `proj` (d, V)): column-parallel on
+        the vocab dim (the log-softmax normalizer is the only cross-shard
+        reduction);
+      * token embedding tables (V, d): split on the vocab dim;
+      * everything else (norms, biases, conv kernels, PE tables):
+        replicated.
     """
     model_size = mesh.shape[model_axis]
 
+    def dim_spec(leaf, dim):
+        """Shard `dim` if divisible by the model size, else try the other
+        dim, else replicate (e.g. the vocab 4999 is odd — its projections
+        shard on the d_model dim instead)."""
+        for d in (dim, 1 - dim):
+            if leaf.shape[d] % model_size == 0:
+                return P(*(model_axis if i == d else None
+                           for i in range(leaf.ndim)))
+        return P()
+
     def spec_for(path, leaf):
-        if model_size == 1 or leaf.ndim < 2:
+        if model_size == 1:
             return P()
-        name = "/".join(str(p.key) if hasattr(p, "key") else str(p)
-                        for p in path)
-        d = leaf.shape
+        keys = tuple(str(p.key) if hasattr(p, "key") else str(p)
+                     for p in path)
+        name = "/".join(keys)
+        if leaf.ndim == 2 and keys[-1] == "embedding":
+            return dim_spec(leaf, 0)  # (V, d) token embedding: vocab dim
+        if leaf.ndim < 2:
+            return P()
+        # attention projections (also the LM's CachedSelfAttention)
+        if keys[-1] == "kernel" and len(keys) >= 2:
+            owner = keys[-2]
+            if owner in ("q", "k", "v", "pos"):
+                return dim_spec(leaf, 1)
+            if owner == "out":
+                return dim_spec(leaf, 0)
+            if owner == "linear_out" and leaf.ndim == 2:
+                # frontend flatten->d_model projection: (C*F, d) is the
+                # single largest matrix in the model — column-parallel
+                return dim_spec(leaf, 1)
         # FFN up-projection / generator: shard output dim
         if ("ff" in name and "Dense_0" in name) or "proj" in name:
-            return P(None, model_axis)
+            return dim_spec(leaf, 1)
         # FFN down-projection: shard input dim
         if "ff" in name and "Dense_1" in name:
-            return P(model_axis, None)
+            return dim_spec(leaf, 0)
         return P()
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)
+
+
+# ---- activation sharding constraints --------------------------------------
+# The residual stream is anchored to data-parallel-only sharding at layer
+# boundaries; with the param shardings above, GSPMD then derives the
+# head-/ff-parallel intermediate shardings and places the one all-reduce
+# per attention/FFN block (the Megatron pattern). Models call
+# `constrain_activation` which is a no-op unless a mesh was installed via
+# `set_global_mesh` (so single-chip paths compile exactly as before).
+
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Optional[Mesh]):
+    """Install (or clear) the mesh used for activation constraints."""
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def constrain_activation(x, batch_axis: str = "data"):
+    """Anchor a (B, ...) activation to batch-only sharding (replicated over
+    'model'). No-op without an installed mesh."""
+    mesh = _GLOBAL_MESH
+    if mesh is None:
+        return x
+    spec = P(batch_axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

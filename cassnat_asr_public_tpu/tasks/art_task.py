@@ -58,10 +58,11 @@ class ArtTask(BaseTask):
     def loss_fn(self, params, batch, rngs, train: bool):
         labels = batch["labels"]
         tgt, tgt_label = labels[:, :-1], labels[:, 1:]
-        return self.model.apply(
+        out = self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt, tgt_label,
             batch["label_sizes"], label_smooth=batch.get("ls"),
             deterministic=not train, rngs=rngs if train else {})
+        return self.attach_wer_metrics(out, batch)
 
     def make_meters(self):
         m = super().make_meters()
@@ -71,41 +72,34 @@ class ArtTask(BaseTask):
                  att_wer=M.AverageMeter("AttWer", ":.4f"))
         return m
 
-    def metric_update(self, out, batch, meters):
-        tgt_label = batch["labels"][:, 1:]
-        tokens = int((tgt_label != 0).sum())
-        meters["loss"].update(float(out["loss"]), tokens)
-        meters["ctc_loss"].update(float(out["ctc_loss"]), tokens)
-        meters["att_loss"].update(float(out["att_loss"]), tokens)
-        feat_sizes = np.asarray(out["feat_sizes"])
-        errs, total = M.ctc_greedy_wer(np.asarray(out["ctc_out"]), tgt_label,
-                                       feat_sizes)
-        meters["ctc_wer"].update(errs / total, total)
-        errs, total = M.att_greedy_wer(np.asarray(out["att_out"]), tgt_label)
-        meters["att_wer"].update(errs / total, total)
+    def metric_stage(self, out, batch):
+        s = super().metric_stage(out, batch)
+        for k in ("ctc_loss", "att_loss", "ctc_errs", "ctc_tokens",
+                  "att_errs", "att_tokens"):
+            if k in out:
+                s[k] = out[k]
+        return s
+
+    def metric_apply(self, vals, meters):
+        super().metric_apply(vals, meters)
+        if "ctc_loss" in vals:
+            meters["ctc_loss"].update(float(vals["ctc_loss"]),
+                                      vals["tokens"])
+        if "att_loss" in vals:
+            meters["att_loss"].update(float(vals["att_loss"]),
+                                      vals["tokens"])
+        if "ctc_errs" in vals:
+            t = max(int(vals["ctc_tokens"]), 1)
+            meters["ctc_wer"].update(int(vals["ctc_errs"]) / t, t)
+        if "att_errs" in vals:
+            t = max(int(vals["att_tokens"]), 1)
+            meters["att_wer"].update(int(vals["att_errs"]) / t, t)
 
     def epoch_metric(self, valid_meters):
         return valid_meters["att_wer"].avg
 
     # ---- decoding (reference: art_task.py:233-277) ----
-    def load_lm_model(self, args):
-        if not getattr(args, "lm_config", None) and not getattr(
-                args, "rnnlm", None):
-            return
-        from cassnat_asr_public_tpu.utils.config import merge_configs
-        lm_args = merge_configs(None, args.lm_config)
-        lm_args.vocab_size = args.vocab_size
-        self.lm_model = make_lm(lm_args)
-        tokens = jnp.ones((1, 4), jnp.int32)
-        self.lm_params = self.lm_model.init(jax.random.PRNGKey(0), tokens)
-        lm_path = getattr(args, "rnnlm", None)
-        if lm_path and os.path.exists(lm_path):
-            state = ckpt.load_checkpoint(lm_path)
-            self.lm_params = ckpt.restore_params(self.lm_params,
-                                                 state["params"])
-        lm = self.lm_model
-        self.lm_apply2 = lambda p, ys: lm.apply(p, ys)
-        self.lm_apply4 = lambda p, ys, feats, mask: lm.apply(p, ys)
+    # load_lm_model inherited from BaseTask (transformer fusion LM)
 
     def decode(self, args):
         decode_type = getattr(args, "decode_type", "ctc_att")
@@ -121,14 +115,16 @@ class ArtTask(BaseTask):
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
                                             feats, mask)
             elif decode_type == "ctc_correct":
-                # CTC-correction single-pass decode
-                # (reference: transformer.py:243-342)
+                # CTC-correction single-pass decode, then per-position beam
+                # when beam_width > 1 (reference: transformer.py:243-342)
                 out = ctc_correct_decode_jit(
                     self.model, self.state.params, feats, mask,
                     umax=feats.shape[1] // 4 + 2,
                     lm_apply=self.lm_apply4 if use_lm else None,
                     lm_params=self.lm_params,
-                    lm_weight=getattr(args, "lm_weight", 0.0))
+                    lm_weight=getattr(args, "lm_weight", 0.0),
+                    beam_width=getattr(args, "beam_width", 1),
+                    lm_model=self.lm_model if use_lm else None)
             else:
                 max_steps = min(
                     int(getattr(args, "max_decode_ratio", 0)

@@ -134,6 +134,30 @@ class BaseTask:
             print(f"Loaded pretrained weights from {args.resume_model}",
                   flush=True)
 
+    def load_lm_model(self, args):
+        """Default fusion-LM loader: a TransformerLM from lm_config, used
+        for shallow fusion in AR/CTC beam decoding (reference:
+        art_task.py:67 load_lm_model; subclasses override for rank
+        models)."""
+        if not getattr(args, "lm_config", None) and not getattr(
+                args, "rnnlm", None):
+            return
+        from cassnat_asr_public_tpu.models import make_lm
+        from cassnat_asr_public_tpu.utils.config import merge_configs
+        lm_args = merge_configs(None, args.lm_config)
+        lm_args.vocab_size = args.vocab_size
+        self.lm_model = make_lm(lm_args)
+        tokens = jnp.ones((1, 4), jnp.int32)
+        self.lm_params = self.lm_model.init(jax.random.PRNGKey(0), tokens)
+        lm_path = getattr(args, "rnnlm", None)
+        if lm_path and os.path.exists(lm_path):
+            state = ckpt.load_checkpoint(lm_path)
+            self.lm_params = ckpt.restore_params(self.lm_params,
+                                                 state["params"])
+        lm = self.lm_model
+        self.lm_apply2 = lambda p, ys: lm.apply(p, ys)
+        self.lm_apply4 = lambda p, ys, feats, mask: lm.apply(p, ys)
+
     def load_test_model(self, args):
         path = getattr(args, "resume_model", "")
         if path and os.path.exists(path):
@@ -206,10 +230,52 @@ class BaseTask:
         self.train_step = train_step
         self.eval_step = eval_step
 
-    def metric_update(self, out: Dict, batch: Dict, meters: Dict):
-        """Default loss-meter updates; subclasses add WER meters."""
-        tokens = int((batch["labels"][:, 1:] != 0).sum())
-        meters["loss"].update(float(out["loss"]), tokens)
+    # ---- metrics: device-side staging + deferred host flush ----
+    # The reference pulls the (B, T', V) logits to host EVERY step for
+    # greedy WER (reference: art_task.py:196-202 -> wer.py) — a D2H sync in
+    # the hot loop. Here WER error counts are computed in-graph
+    # (ops/edit_distance.py) and metric_stage returns only tiny device
+    # scalars, which are batched into ONE host transfer per print_freq
+    # steps (flush), so the step loop stays fully asynchronous.
+
+    def attach_wer_metrics(self, out: Dict, batch: Dict,
+                           ctc: bool = True, att: bool = True) -> Dict:
+        """In-graph greedy WER counts; pops the big logits from `out`.
+
+        Call at the end of loss_fn (inside jit)."""
+        from cassnat_asr_public_tpu.ops.edit_distance import (
+            att_greedy_errors, ctc_greedy_errors)
+        tgt = batch["labels"][:, 1:]
+        lsz = batch["label_sizes"]
+        if ctc and "ctc_out" in out:
+            tmax = out["ctc_out"].shape[1]
+            fmask = jnp.arange(tmax)[None, :] < out["feat_sizes"][:, None]
+            e, t = ctc_greedy_errors(out["ctc_out"], fmask, tgt, lsz)
+            out["ctc_errs"], out["ctc_tokens"] = e, t
+        if att and "att_out" in out:
+            e, t = att_greedy_errors(out["att_out"], tgt, lsz)
+            out["att_errs"], out["att_tokens"] = e, t
+        for k in ("ctc_out", "att_out", "feat_sizes", "ac_embed",
+                  "mapped_embed"):
+            out.pop(k, None)
+        return out
+
+    def metric_stage(self, out: Dict, batch: Dict) -> Dict:
+        """Per-step metric payload: small DEVICE arrays + host ints only.
+        Must not force device results (no float()/np.asarray)."""
+        return {"loss": out["loss"],
+                "tokens": int((batch["labels"][:, 1:] != 0).sum())}
+
+    def metric_apply(self, vals: Dict, meters: Dict):
+        """Consume one host-materialized metric payload."""
+        meters["loss"].update(float(vals["loss"]), vals["tokens"])
+
+    def _flush_metrics(self, pending, meters):
+        if not pending:
+            return
+        for vals in jax.device_get(pending):
+            self.metric_apply(vals, meters)
+        pending.clear()
 
     def run_one_epoch(self, epoch, args, is_train=True):
         loader = self.train_loader if is_train else self.valid_loader
@@ -221,6 +287,7 @@ class BaseTask:
                                    prefix=f"Epoch: [{epoch}]")
         rng = jax.random.PRNGKey(getattr(args, "seed", 0) * 1000 + epoch)
         t_end = time.time()
+        pending = []
         for i, batch in enumerate(loader):
             batch_dev = self.prepare_batch(batch)
             if is_train:
@@ -233,11 +300,13 @@ class BaseTask:
                 self.on_train_step(args)
             else:
                 out = self.eval_step(self.state.params, batch_dev)
-            self.metric_update(out, batch, meters)
+            pending.append(self.metric_stage(out, batch))
             meters["time"].update(time.time() - t_end)
             t_end = time.time()
             if i % getattr(args, "print_freq", 100) == 0 and self.rank == 0:
+                self._flush_metrics(pending, meters)
                 progress.print(i)
+        self._flush_metrics(pending, meters)
         return meters
 
     def make_meters(self):

@@ -86,11 +86,12 @@ class CassNATTask(BaseTask):
     def loss_fn(self, params, batch, rngs, train: bool):
         tgt_label = batch["labels"][:, 1:]
         sample_topk = getattr(self.args, "sample_topk", 0) if train else 0
-        return self.model.apply(
+        out = self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt_label,
             batch["label_sizes"], sample_topk=sample_topk,
             label_smooth=batch.get("ls"),
             deterministic=not train, rngs=rngs if train else {})
+        return self.attach_wer_metrics(out, batch)
 
     def make_meters(self):
         m = super().make_meters()
@@ -100,18 +101,28 @@ class CassNATTask(BaseTask):
                  att_wer=M.AverageMeter("AttWer", ":.4f"))
         return m
 
-    def metric_update(self, out, batch, meters):
-        tgt_label = batch["labels"][:, 1:]
-        tokens = int((tgt_label != 0).sum())
-        meters["loss"].update(float(out["loss"]), tokens)
-        meters["ctc_loss"].update(float(out["ctc_loss"]), tokens)
-        meters["att_loss"].update(float(out["att_loss"]), tokens)
-        feat_sizes = np.asarray(out["feat_sizes"])
-        errs, total = M.ctc_greedy_wer(np.asarray(out["ctc_out"]), tgt_label,
-                                       feat_sizes)
-        meters["ctc_wer"].update(errs / total, total)
-        errs, total = M.att_greedy_wer(np.asarray(out["att_out"]), tgt_label)
-        meters["att_wer"].update(errs / total, total)
+    def metric_stage(self, out, batch):
+        s = super().metric_stage(out, batch)
+        for k in ("ctc_loss", "att_loss", "ctc_errs", "ctc_tokens",
+                  "att_errs", "att_tokens"):
+            if k in out:
+                s[k] = out[k]
+        return s
+
+    def metric_apply(self, vals, meters):
+        super().metric_apply(vals, meters)
+        if "ctc_loss" in vals:
+            meters["ctc_loss"].update(float(vals["ctc_loss"]),
+                                      vals["tokens"])
+        if "att_loss" in vals:
+            meters["att_loss"].update(float(vals["att_loss"]),
+                                      vals["tokens"])
+        if "ctc_errs" in vals:
+            t = max(int(vals["ctc_tokens"]), 1)
+            meters["ctc_wer"].update(int(vals["ctc_errs"]) / t, t)
+        if "att_errs" in vals:
+            t = max(int(vals["att_tokens"]), 1)
+            meters["att_wer"].update(int(vals["att_errs"]) / t, t)
 
     def epoch_metric(self, valid_meters):
         return valid_meters["att_wer"].avg

@@ -37,23 +37,29 @@ class CTCTask(BaseTask):
 
     def loss_fn(self, params, batch, rngs, train: bool):
         tgt_label = batch["labels"][:, 1:]
-        return self.model.apply(
+        out = self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt_label,
             batch["label_sizes"], deterministic=not train,
             rngs=rngs if train else {})
+        return self.attach_wer_metrics(out, batch, att=False)
 
     def make_meters(self):
         m = super().make_meters()
         m.update(ctc_wer=M.AverageMeter("CtcWer", ":.4f"))
         return m
 
-    def metric_update(self, out, batch, meters):
-        tgt_label = batch["labels"][:, 1:]
-        tokens = int((tgt_label != 0).sum())
-        meters["loss"].update(float(out["loss"]), tokens)
-        errs, total = M.ctc_greedy_wer(np.asarray(out["ctc_out"]), tgt_label,
-                                       np.asarray(out["feat_sizes"]))
-        meters["ctc_wer"].update(errs / total, total)
+    def metric_stage(self, out, batch):
+        s = super().metric_stage(out, batch)
+        for k in ("ctc_errs", "ctc_tokens"):
+            if k in out:
+                s[k] = out[k]
+        return s
+
+    def metric_apply(self, vals, meters):
+        super().metric_apply(vals, meters)
+        if "ctc_errs" in vals:
+            t = max(int(vals["ctc_tokens"]), 1)
+            meters["ctc_wer"].update(int(vals["ctc_errs"]) / t, t)
 
     def epoch_metric(self, valid_meters):
         return valid_meters["ctc_wer"].avg
@@ -75,8 +81,11 @@ class CTCTask(BaseTask):
                 _, enc_mask, ctc_out = self.model.apply(
                     self.state.params, feats, mask, method="encode_ctc")
                 lm_w = getattr(args, "ctc_lm_weight", 0.0)
-                if lm_w > 0:
-                    # host fallback: per-step LM queries are host-side
+                from cassnat_asr_public_tpu.models.lm import TransformerLM
+                fusion_lm = self.lm_model if isinstance(
+                    self.lm_model, TransformerLM) else None
+                if lm_w > 0 and fusion_lm is None:
+                    # host fallback for non-transformer LM scorers
                     feat_sizes = np.asarray(enc_mask.sum(-1))
                     hyps = ctc_frame_beam_decode(
                         np.asarray(ctc_out), feat_sizes,
@@ -85,13 +94,19 @@ class CTCTask(BaseTask):
                         lm_weight=lm_w,
                         length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
                 else:
+                    # device beam; with lm_w > 0 the fusion LM advances
+                    # in-graph through its KV cache (reference:
+                    # beam_decode.py:31-55 batched per-frame LM queries)
                     from cassnat_asr_public_tpu.utils.decoding import \
                         ctc_frame_beam_decode_jit
                     out = ctc_frame_beam_decode_jit(
                         ctc_out, enc_mask.sum(-1),
                         beam_width=getattr(args, "ctc_beam", 10),
                         pruning_size=getattr(args, "ctc_pruning", 10) or 10,
-                        length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
+                        length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0,
+                        lm_model=fusion_lm if lm_w > 0 else None,
+                        lm_params=self.lm_params if lm_w > 0 else None,
+                        lm_weight=lm_w)
                     toks = np.asarray(out["tokens"])
                     lens = np.asarray(out["lengths"])
                     hyps = [list(toks[i, 0, :lens[i, 0]])

@@ -66,10 +66,13 @@ class LMTask(BaseTask):
         m.update(acc=M.AverageMeter("Acc", ":.4f"))
         return m
 
-    def metric_update(self, out, batch, meters):
-        tokens = int((batch["targets"] != 0).sum())
-        meters["loss"].update(float(out["loss"]), tokens)
-        meters["acc"].update(float(out["acc"]), tokens)
+    def metric_stage(self, out, batch):
+        return {"loss": out["loss"], "acc": out["acc"],
+                "tokens": int((batch["targets"] != 0).sum())}
+
+    def metric_apply(self, vals, meters):
+        meters["loss"].update(float(vals["loss"]), vals["tokens"])
+        meters["acc"].update(float(vals["acc"]), vals["tokens"])
 
     def prepare_batch(self, batch):
         from cassnat_asr_public_tpu.parallel.mesh import shard_batch

@@ -327,17 +327,24 @@ def ctc_greedy_decode_jit(model, params, feats, src_mask):
 
 
 @partial(jax.jit, static_argnames=("model", "umax", "lm_apply", "lm_weight",
-                                   "sos", "eos"))
+                                   "sos", "eos", "beam_width", "lm_model",
+                                   "lm_apply_logits"))
 def ctc_correct_decode_jit(model, params, feats, src_mask, umax: int,
                            lm_apply: Optional[Callable] = None,
                            lm_params=None, lm_weight: float = 0.0,
-                           sos: int = 1, eos: int = 2):
+                           sos: int = 1, eos: int = 2,
+                           beam_width: int = 1, lm_model=None,
+                           lm_apply_logits: bool = False):
     """"CTC correction" decode: feed the collapsed CTC greedy path to the AR
-    decoder in ONE pass, then per-position argmax (+ optional LM fusion).
+    decoder in ONE pass, then a per-position beam (+ optional LM fusion).
 
     (reference: src/models/transformer.py:243-342 fast_decode_with_ctc —
-    the reference's per-position Python beam is replaced by vectorized
-    per-position selection; beam_width 1 matches the recipe defaults.)
+    the single corrective decoder pass at :243-304, then the per-position
+    beam with LM at :305-342. With beam_width > 1 the beam shares
+    `nat_position_beam` — a `lax.fori_loop` over positions with the fusion
+    LM advanced through its KV cache — instead of the reference's Python
+    hypothesis lists; beam_width 1 keeps the vectorized argmax (+shallow
+    fusion) path.)
     """
     enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
                                            method="encode_ctc")
@@ -349,8 +356,19 @@ def ctc_correct_decode_jit(model, params, feats, src_mask, umax: int,
         [jnp.full((bs, 1), sos, hyp.dtype), hyp], axis=1)[:, :umax]
     att_out = model.apply(params, enc_h, enc_mask, tgt_in,
                           method="forward_att_scores")  # (B, umax, V)
+    if beam_width > 1:
+        # per-position beam over the corrective posteriors with KV-cached
+        # LM fusion. Positions 0..lens INCLUSIVE are live (the reference
+        # beams while i <= length[b] and keeps a non-eos token emitted in
+        # the eos slot; reference: transformer.py:284-342), so the beam
+        # sees lens+1 token slots.
+        return nat_position_beam(att_out, lens + 2, lm_model, lm_params,
+                                 beam_width=beam_width,
+                                 lm_weight=lm_weight, sos=sos, eos=eos)
     if lm_apply is not None and lm_weight > 0:
         lm_out = lm_apply(lm_params, tgt_in, feats, src_mask)
+        if lm_apply_logits:
+            lm_out = jax.nn.log_softmax(lm_out.astype(jnp.float32), axis=-1)
         att_out = att_out + lm_weight * lm_out
     pred = att_out.argmax(-1)
     valid = jnp.arange(umax)[None, :] <= lens[:, None]  # +1 slot for eos
@@ -802,15 +820,18 @@ def ar_beam_decode_cached_jit(model, params, feats, src_mask,
 
 
 @partial(jax.jit, static_argnames=("beam_width", "pruning_size", "blank",
-                                   "length_penalty", "blank_skip"))
+                                   "length_penalty", "blank_skip",
+                                   "lm_model", "lm_weight", "sos"))
 def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
                               pruning_size: int = 10, blank: int = 0,
                               length_penalty: float = 0.0,
-                              blank_skip: float = 0.95):
+                              blank_skip: float = 0.95,
+                              lm_model=None, lm_params=None,
+                              lm_weight: float = 0.0, sos: int = 1):
     """Device-side frame-synchronous CTC beam search: fixed beam K, one
     `lax.scan` over frames, prefix-merging via rolling-hash equality.
 
-    Same semantics as the host `ctc_frame_beam_decode` without LM fusion
+    Same semantics as the host `ctc_frame_beam_decode`
     (reference: src/utils/beam_decode.py:8-93, incl. the blank-skip
     shortcut): per frame each hypothesis spawns a 'stay' candidate
     (blank / repeat-last) and `pruning_size` extension candidates; equal
@@ -819,14 +840,27 @@ def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
     plus the length — a collision needs both 32-bit hashes AND the length
     to agree, which is negligible at beam sizes.
 
+    LM fusion (reference queries the LM in-beam per frame,
+    beam_decode.py:31-55): pass lm_model/lm_params/lm_weight > 0. Each
+    beam carries the fusion LM's next-token distribution for its own
+    prefix; extension candidates add lm_weight * log P(c | prefix) to the
+    ranking score (not to the CTC probabilities), and after pruning the LM
+    advances one token — through its KV cache at PER-ROW positions
+    (score_step_at), since frame-synchronous hypotheses have ragged
+    lengths — only for beams that actually extended. Merged prefixes are
+    identical strings, so keeping the first occurrence's LM state is
+    exact.
+
     ctc_out: (B, T, V) log-probs; feat_sizes: (B,). Returns dict with
     tokens (B, K, T) n-best token arrays (best first), lengths (B, K),
-    scores (B, K).
+    scores (B, K) (scores include the LM term).
     """
     bs, tmax, vocab = ctc_out.shape
     k, p = beam_width, min(pruning_size, vocab)
     n = k * (p + 1)
+    nk = bs * k
     M1, M2 = jnp.uint32(2654435761), jnp.uint32(40503)
+    use_lm = lm_model is not None and lm_weight > 0
 
     hyps0 = jnp.zeros((bs, k, tmax), jnp.int32)
     # beams > 0 start invalid: negative distinct lens so they never merge
@@ -836,9 +870,21 @@ def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
     pnb0 = jnp.full((bs, k), LOG_ZERO)
     h10 = jnp.zeros((bs, k), jnp.uint32)
     h20 = jnp.zeros((bs, k), jnp.uint32)
+    if use_lm:
+        cache0 = lm_model.apply(lm_params, nk, tmax + 1,
+                                method="init_cache")
+        logp0, cache0 = lm_model.apply(
+            lm_params, jnp.full((nk,), sos, jnp.int32), cache0,
+            jnp.zeros((nk,), jnp.int32), method="score_step_at")
+        lmlogp0 = logp0.astype(jnp.float32).reshape(bs, k, vocab)
+        lmacc0 = jnp.zeros((bs, k), jnp.float32)
+    else:
+        cache0 = {}
+        lmlogp0 = jnp.zeros((bs, k, 0), jnp.float32)
+        lmacc0 = jnp.zeros((bs, k), jnp.float32)
 
     def step(carry, t):
-        hyps, lens, pb, pnb, h1, h2 = carry
+        hyps, lens, pb, pnb, h1, h2, lmacc, lmlogp, cache = carry
         logp_t = ctc_out[:, t]                      # (B, V)
         active = (t < feat_sizes)                   # (B,)
         p_blank = logp_t[:, blank]                  # (B,)
@@ -892,8 +938,20 @@ def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
             (lens[:, :, None].repeat(p + 1, 2).reshape(bs, n) + 1),
             lens[:, :, None].repeat(p + 1, 2).reshape(bs, n))
 
+        if use_lm:
+            # extension candidates add the fusion term to the RANKING
+            # score (kept out of pb/pnb like the reference's per-hyp lm
+            # accumulator, beam_decode.py:44-55)
+            ext_lm = lmacc[:, :, None] + lm_weight * jnp.take_along_axis(
+                lmlogp, c, axis=2)
+            cand_lm = jnp.concatenate([lmacc[:, :, None], ext_lm],
+                                      -1).reshape(bs, n)
+        else:
+            cand_lm = jnp.zeros((bs, n), jnp.float32)
+
         # prefix merge: logsumexp over identical (h1, h2, len) candidates,
-        # then keep only each group's first occurrence
+        # then keep only each group's first occurrence (identical prefixes
+        # share one lm value, so cand_lm needs no merging)
         eq = (ch1[:, :, None] == ch1[:, None, :]) & \
              (ch2[:, :, None] == ch2[:, None, :]) & \
              (clen[:, :, None] == clen[:, None, :])        # (B, N, N)
@@ -905,7 +963,7 @@ def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
         mpb = merge(cand_pb)
         mpnb = merge(cand_pnb)
         first = jnp.argmax(eq, axis=-1) == jnp.arange(n)[None, :]
-        score = jnp.logaddexp(mpb, mpnb) \
+        score = jnp.logaddexp(mpb, mpnb) + cand_lm \
             + length_penalty * clen.astype(jnp.float32)
         score = jnp.where(first & (clen >= 0), score, 2 * LOG_ZERO)
 
@@ -915,6 +973,7 @@ def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
         new_h1, new_h2 = sel(ch1), sel(ch2)
         new_len, new_tok = sel(clen), sel(tok)
         new_ext, new_parent = sel(is_ext), sel(parent)
+        new_lm = sel(cand_lm)
 
         new_hyps = jnp.take_along_axis(hyps, new_parent[..., None], axis=1)
         write = (jnp.arange(tmax)[None, None, :] ==
@@ -928,18 +987,54 @@ def ctc_frame_beam_decode_jit(ctc_out, feat_sizes, beam_width: int = 10,
         new_len = jnp.where(dead, -jnp.arange(k, dtype=jnp.int32)[None] - 1,
                             new_len)
 
+        if use_lm:
+            # reorder LM state by parent beam, then advance one token for
+            # beams that extended (per-row positions: token j sits at
+            # cache slot j, sos at 0)
+            flat_parent = (jnp.arange(bs)[:, None] * k
+                           + new_parent).reshape(-1)
+            cache_p = jax.tree_util.tree_map(
+                lambda cc: cc[flat_parent], cache)
+            logp_p = jnp.take_along_axis(lmlogp, new_parent[..., None],
+                                         axis=1)
+            adv = new_ext & active[:, None] & ~dead
+            pos_flat = jnp.maximum(new_len, 1).reshape(-1)
+            logp_n, cache_n = lm_model.apply(
+                lm_params, new_tok.reshape(-1), cache_p, pos_flat,
+                method="score_step_at")
+            advf = adv.reshape(-1)
+            new_cache = jax.tree_util.tree_map(
+                lambda cn, co: jnp.where(
+                    advf.reshape(-1, *([1] * (cn.ndim - 1))), cn, co),
+                cache_n, cache_p)
+            # inactive utterances keep their rows un-reordered
+            actf = jnp.repeat(active, k)
+            cache = jax.tree_util.tree_map(
+                lambda cn, co: jnp.where(
+                    actf.reshape(-1, *([1] * (cn.ndim - 1))), cn, co),
+                new_cache, cache)
+            lmlogp_new = jnp.where(adv[..., None],
+                                   logp_n.astype(jnp.float32)
+                                   .reshape(bs, k, vocab), logp_p)
+        else:
+            lmlogp_new = lmlogp
+
         out = (jnp.where(active[:, None, None], new_hyps, hyps),
                jnp.where(active[:, None], new_len, lens),
                jnp.where(active[:, None], new_pb, pb),
                jnp.where(active[:, None], new_pnb, pnb),
                jnp.where(active[:, None], new_h1, h1),
-               jnp.where(active[:, None], new_h2, h2))
+               jnp.where(active[:, None], new_h2, h2),
+               jnp.where(active[:, None], new_lm, lmacc),
+               jnp.where(active[:, None, None], lmlogp_new, lmlogp),
+               cache)
         return out, None
 
-    (hyps, lens, pb, pnb, _, _), _ = jax.lax.scan(
-        step, (hyps0, lens0, pb0, pnb0, h10, h20), jnp.arange(tmax))
+    (hyps, lens, pb, pnb, _, _, lmacc, _, _), _ = jax.lax.scan(
+        step, (hyps0, lens0, pb0, pnb0, h10, h20, lmacc0, lmlogp0, cache0),
+        jnp.arange(tmax))
 
-    final = jnp.logaddexp(pb, pnb)
+    final = jnp.logaddexp(pb, pnb) + lmacc
     final = jnp.where(lens >= 0, final, 2 * LOG_ZERO)
     order = jnp.argsort(-final, axis=1)
     tokens = jnp.take_along_axis(hyps, order[..., None], axis=1)

@@ -1,0 +1,335 @@
+#!/usr/bin/env python3
+"""End-to-end WER validation on learnable synthetic speech, repo vs the
+PyTorch reference driving the SAME trained weights (VERDICT r2 missing #1
+and next-round item 2).
+
+Stages (resumable; artifacts under egs/synth/):
+  1 data      — generate synthetic speech (local/prepare_synth_speech.py)
+  2 features  — in-framework fbank + CMVN (bin.prepare_features)
+  3 tokens    — char tokens (<space> between words) + vocab
+  4 lm        — train a char LM for ESA 'lm' ranking (bin.lm_train path)
+  5 train     — train the small CASS-NAT (tasks.CassNATTask)
+  6 decode    — greedy / ESA(rank none, lm) / ESA+dedup / ESA topk; WER
+  7 stats     — trained-model emission statistics (low-confidence frame
+                fraction at the ESA threshold; unique-candidate counts) —
+                the measured justification for bench.py's profiles
+  8 reference — transplant the trained weights into the reference torch
+                CassNAT (flax_to_ref.py) and run the REFERENCE ESA decode
+                on the same features; WER side by side
+  9 report    — write WER_PARITY.md at the repo root
+
+Run from egs/synth:  python run_wer_parity.py [--stage N] [--end_stage M]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
+sys.path.insert(0, REPO)
+DATA = os.path.join(HERE, "data")
+EXP = os.path.join(HERE, "exp", "cassnat")
+LM_EXP = os.path.join(HERE, "exp", "lm")
+REPORT = os.path.join(REPO, "WER_PARITY.md")
+SPACE = "<space>"
+
+
+def sh(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(cmd, check=True, cwd=HERE, env=env, **kw)
+
+
+def read_text(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if parts:
+                out[parts[0]] = parts[1].split() if len(parts) > 1 else []
+    return out
+
+
+def wer(refs, hyps):
+    from cassnat_asr_public_tpu.utils.metrics import corpus_wer
+    utts = sorted(refs)
+    rep = corpus_wer([refs[u] for u in utts],
+                     [hyps.get(u, []) for u in utts])
+    return rep
+
+
+def pieces_to_words(pieces):
+    return "".join(pieces).replace(SPACE, " ").split()
+
+
+# ---------------------------------------------------------------------------
+
+
+def stage_data():
+    sh([sys.executable, "local/prepare_synth_speech.py", "--out", DATA])
+
+
+def stage_features():
+    for part in ("train", "dev", "test"):
+        args = ["--wav_scp", f"{DATA}/{part}/wav.scp",
+                "--out_dir", f"{DATA}/fbank/{part}"]
+        if part == "train":
+            args.append("--cmvn")
+        sh([sys.executable, "-m",
+            "cassnat_asr_public_tpu.bin.prepare_features"] + args)
+    sh(["cp", f"{DATA}/fbank/train/cmvn.ark", f"{DATA}/fbank/cmvn.ark"])
+
+
+def stage_tokens():
+    os.makedirs(f"{DATA}/dict", exist_ok=True)
+    units = set()
+    for part in ("train", "dev", "test"):
+        text = read_text(f"{DATA}/{part}/text")
+        with open(f"{DATA}/{part}/token_char.scp", "w") as f:
+            for utt, words in sorted(text.items()):
+                toks = []
+                for i, w in enumerate(words):
+                    if i:
+                        toks.append(SPACE)
+                    toks.extend(list(w))
+                if part == "train":
+                    units.update(toks)
+                f.write(f"{utt} {' '.join(toks)}\n")
+    with open(f"{DATA}/dict/vocab_char.txt", "w") as f:
+        f.write("\n".join(sorted(units)) + "\n")
+    print(f"vocab: {len(units)} units + 4 reserved")
+
+
+def stage_lm():
+    # char-LM corpus = tokenized training transcripts
+    os.makedirs(LM_EXP, exist_ok=True)
+    with open(f"{DATA}/lm_corpus.txt", "w") as f:
+        for utt, toks in sorted(read_text(
+                f"{DATA}/train/token_char.scp").items()):
+            f.write(" ".join(toks) + "\n")
+    with open(f"{HERE}/conf/lm.yaml", "w") as f:
+        f.write(f"""model_type: uniLM
+N: 2
+d_model: 128
+d_ff: 512
+n_head: 4
+dropout: 0.1
+vocab_size: 19
+padding_idx: 0
+batch_size: 64
+max_len: 120
+epochs: 12
+print_freq: 50
+learning_rate: 0.0
+noam_factor: 1.0
+warmup_steps: 300
+warmup_type: noam_warmup
+grad_clip: 5
+train_text: {DATA}/lm_corpus.txt
+dev_text: {DATA}/lm_corpus.txt
+vocab_file: {DATA}/dict/vocab_char.txt
+""")
+    sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.lm_train",
+        "--exp_dir", LM_EXP, "--train_config", f"{HERE}/conf/lm.yaml",
+        "--optim_type", "noam", "--epochs", "12", "--task", "lm"])
+
+
+def stage_train():
+    sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.train_asr",
+        "--exp_dir", EXP, "--train_config", f"{HERE}/conf/cassnat_train.yaml",
+        "--data_config", f"{HERE}/conf/data.yaml",
+        "--optim_type", "noam", "--epochs", "40", "--task", "cassnat"])
+
+
+def _load_task(decode_overrides):
+    from cassnat_asr_public_tpu.tasks import TASKS
+    from cassnat_asr_public_tpu.utils.config import merge_configs
+    cfg = merge_configs(None, f"{HERE}/conf/cassnat_train.yaml",
+                        f"{HERE}/conf/data.yaml")
+    for p in ("train_paths", "dev_paths", "test_paths"):
+        for d in getattr(cfg, p):
+            for k in d:
+                if k != "name":
+                    d[k] = os.path.join(HERE, d[k])
+    cfg.vocab_file = os.path.join(HERE, cfg.vocab_file)
+    cfg.global_cmvn = os.path.join(HERE, cfg.global_cmvn)
+    cfg.exp_dir = EXP
+    cfg.resume_model = os.path.join(EXP, "best_model.ckpt")
+    cfg.dropout = 0.0
+    cfg.use_specaug = False
+    cfg.test_batch_size = 16
+    for k, v in decode_overrides.items():
+        setattr(cfg, k, v)
+    task = TASKS["cassnat"]("test", cfg)
+    task.load_lm_model(cfg)
+    return task, cfg
+
+
+DECODE_MODES = {
+    "greedy_ctc": dict(decode_type="ctc_only"),
+    "esa_self_50": dict(decode_type="esa_att", sample_num=50, threshold=0.9,
+                        rank_model="none"),
+    "esa_lm_50": dict(decode_type="esa_att", sample_num=50, threshold=0.9,
+                      rank_model="lm"),
+    "esa_lm_50_dedup": dict(decode_type="esa_att", sample_num=50,
+                            threshold=0.9, rank_model="lm", esa_dedup=16,
+                            esa_rank_dedup=8),
+    "esa_lm_topk16": dict(decode_type="esa_att", sample_num=50,
+                          threshold=0.9, rank_model="lm", esa_topk=16),
+}
+
+
+def stage_decode():
+    refs = {u: ws for u, ws in read_text(f"{DATA}/test/text").items()}
+    results = {}
+    for mode, over in DECODE_MODES.items():
+        if over.get("rank_model") == "lm":
+            over = dict(over, lm_config=f"{HERE}/conf/lm.yaml",
+                        rnnlm=os.path.join(LM_EXP, "best_model.ckpt"))
+        task, cfg = _load_task(over)
+        t0 = time.time()
+        hyps_raw, elapsed = task.decode(cfg)
+        hyps = {u: pieces_to_words(p) for u, p in hyps_raw.items()}
+        rep = wer(refs, hyps)
+        rep["elapsed_s"] = round(time.time() - t0, 1)
+        results[mode] = rep
+        print(f"[{mode}] WER {rep['wer']*100:.2f}% "
+              f"({rep['n_words']} words)", flush=True)
+        del task
+    with open(f"{HERE}/decode_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    # dedup must not change the ESA output (same decode seed)
+    assert abs(results["esa_lm_50"]["wer"]
+               - results["esa_lm_50_dedup"]["wer"]) < 1e-9, \
+        "dedup changed the ESA WER"
+
+
+def stage_stats():
+    """Trained-model emission statistics feeding bench.py's profiles."""
+    import jax
+    import jax.numpy as jnp
+    from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
+    from cassnat_asr_public_tpu.utils.decoding import (_group_dedup,
+                                                       _row_hashes)
+    task, cfg = _load_task(dict(decode_type="ctc_only"))
+    lowconf, uniq_a, ylens, n_frames = [], [], [], 0
+    sample_num = 50
+    rng = jax.random.PRNGKey(0)
+    for batch in task.test_loader:
+        feats = jnp.asarray(batch["feats"])
+        mask = jnp.asarray(batch["src_mask"])
+        _, enc_mask, ctc_out = task.model.apply(
+            task.state.params, feats, mask, method="encode_ctc")
+        mx = np.asarray(jnp.exp(ctc_out.max(-1)))
+        valid = np.asarray(enc_mask)
+        lowconf.append(((mx < 0.9) & valid).sum())
+        n_frames += valid.sum()
+        rng, sub = jax.random.split(rng)
+        shift, ylen = ctc_sampled_align(ctc_out, enc_mask, sample_num,
+                                        threshold=0.9, rng=sub)
+        h1, h2 = _row_hashes(shift, ylen)
+        _, nu = _group_dedup(h1, h2, feats.shape[0], sample_num)
+        uniq_a.append(np.asarray(nu))
+        ylens.append(np.asarray(ylen).reshape(-1, sample_num)[:, 0])
+    stats = {
+        "lowconf_frac_at_0.9": float(sum(lowconf) / n_frames),
+        "unique_align_mean": float(np.concatenate(uniq_a).mean()),
+        "unique_align_max": int(np.concatenate(uniq_a).max()),
+        "mean_ylen": float(np.concatenate(ylens).mean()),
+        "sample_num": sample_num,
+    }
+    print(json.dumps(stats, indent=1))
+    with open(f"{HERE}/emission_stats.json", "w") as f:
+        json.dump(stats, f, indent=1)
+
+
+def stage_reference():
+    """Reference torch CassNAT decoding the SAME features with the SAME
+    (transplanted) weights — ESA decode, reference code path."""
+    from flax_to_ref import reference_esa_decode
+    refs = read_text(f"{DATA}/test/text")
+    for rank in ("none",):
+        hyps = reference_esa_decode(EXP, DATA, HERE, rank_model=rank)
+        rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
+        print(f"[reference esa rank={rank}] WER {rep['wer']*100:.2f}%",
+              flush=True)
+        with open(f"{HERE}/reference_results.json", "w") as f:
+            json.dump({f"reference_esa_{rank}": rep}, f, indent=1)
+
+
+def stage_report():
+    res = json.load(open(f"{HERE}/decode_results.json"))
+    stats = json.load(open(f"{HERE}/emission_stats.json"))
+    try:
+        ref_res = json.load(open(f"{HERE}/reference_results.json"))
+    except FileNotFoundError:
+        ref_res = {}
+    lines = [
+        "# WER parity: repo vs reference on identical audio + weights",
+        "",
+        "Setup: learnable synthetic speech (14-phone toy language, 40-word",
+        "lexicon, speaker pitch/tempo/noise variation; "
+        "`egs/synth/local/prepare_synth_speech.py`) — the image has no real",
+        "speech and zero egress. A small conformer CASS-NAT"
+        " (6 enc / 1 extra / 2 SAD / 1 MAD, d144) is trained IN THIS REPO",
+        "(`egs/synth/run_wer_parity.py`), then every decode mode is scored,",
+        "and the SAME trained weights are transplanted into the reference",
+        "PyTorch CassNAT (`/root/reference/src/models/cassnat.py`) and",
+        "decoded with the REFERENCE ESA code path on the same features.",
+        "",
+        "## WER (test split, word-level)",
+        "",
+        "| decode | WER % | notes |",
+        "|---|---|---|",
+    ]
+    for mode, rep in res.items():
+        lines.append(f"| {mode} | {rep['wer']*100:.2f} | "
+                     f"{rep['n_words']} ref words |")
+    for mode, rep in ref_res.items():
+        lines.append(f"| **{mode}** (torch) | {rep['wer']*100:.2f} | "
+                     "same weights, same audio |")
+    lines += [
+        "",
+        "`esa_lm_50_dedup` is asserted equal to `esa_lm_50` (exact dedup).",
+        "",
+        "## Trained-model emission statistics (feeds bench.py profiles)",
+        "",
+        "```json",
+        json.dumps(stats, indent=1),
+        "```",
+        "",
+        f"Generated {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())} "
+        "by egs/synth/run_wer_parity.py.",
+    ]
+    with open(REPORT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {REPORT}")
+
+
+STAGES = [("data", stage_data), ("features", stage_features),
+          ("tokens", stage_tokens), ("lm", stage_lm),
+          ("train", stage_train), ("decode", stage_decode),
+          ("stats", stage_stats), ("reference", stage_reference),
+          ("report", stage_report)]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", type=int, default=1)
+    p.add_argument("--end_stage", type=int, default=len(STAGES))
+    args = p.parse_args()
+    for i, (name, fn) in enumerate(STAGES, 1):
+        if args.stage <= i <= args.end_stage:
+            print(f"===== stage {i}: {name} =====", flush=True)
+            fn()
+
+
+if __name__ == "__main__":
+    main()

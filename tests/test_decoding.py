@@ -169,3 +169,126 @@ def test_nat_position_beam_with_lm(rng):
                          lm_params=lm_params)
     assert out["tokens"].shape == (2, 8)
     assert (np.asarray(out["tokens"]) >= 0).all()
+
+
+def test_ctc_correct_beam_no_lm_equals_argmax(rng):
+    from cassnat_asr_public_tpu.utils.decoding import ctc_correct_decode_jit
+    args = tiny_args()
+    model = make_transformer(20, args)
+    feats, src_mask, labels, label_sizes = batch(rng)
+    tgt, tgt_label = labels[:, :-1], labels[:, 1:]
+    params = model.init(jax.random.PRNGKey(0), feats, src_mask, tgt,
+                        tgt_label, label_sizes)
+    out1 = ctc_correct_decode_jit(model, params, feats, src_mask, umax=8)
+    out3 = ctc_correct_decode_jit(model, params, feats, src_mask, umax=8,
+                                  beam_width=3)
+    # positions are independent without an LM: beam == per-position argmax
+    np.testing.assert_array_equal(np.asarray(out3["tokens"]),
+                                  np.asarray(out1["tokens"]))
+
+
+def test_ctc_correct_beam_with_lm_matches_bruteforce(rng):
+    """Per-position beam after the corrective pass, with KV-cached LM
+    fusion, vs a brute-force numpy beam scoring the LM by full forward
+    (reference: src/models/transformer.py:305-342)."""
+    from cassnat_asr_public_tpu.models import make_lm
+    from cassnat_asr_public_tpu.ops.ctc import ctc_greedy_collapse
+    from cassnat_asr_public_tpu.utils.decoding import ctc_correct_decode_jit
+
+    args = tiny_args()
+    model = make_transformer(20, args)
+    feats, src_mask, labels, label_sizes = batch(rng)
+    tgt, tgt_label = labels[:, :-1], labels[:, 1:]
+    params = model.init(jax.random.PRNGKey(0), feats, src_mask, tgt,
+                        tgt_label, label_sizes)
+    lm = make_lm(Config(vocab_size=VOCAB, N=1, d_model=16, d_ff=32, n_head=2,
+                        dropout=0.0, padding_idx=0))
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32))
+    K, W, umax = 3, 0.37, 8
+
+    got = ctc_correct_decode_jit(model, params, feats, src_mask, umax=umax,
+                                 beam_width=K, lm_weight=W, lm_model=lm,
+                                 lm_params=lm_params)
+
+    # reproduce the corrective posteriors via the public methods
+    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                           method="encode_ctc")
+    hyp, lens = ctc_greedy_collapse(ctc_out, enc_mask)
+    hyp = hyp[:, :umax - 1]
+    lens = np.asarray(jnp.minimum(lens, umax - 1))
+    bs = hyp.shape[0]
+    tgt_in = jnp.concatenate(
+        [jnp.full((bs, 1), 1, hyp.dtype), hyp], axis=1)[:, :umax]
+    att = np.asarray(model.apply(params, enc_h, enc_mask, tgt_in,
+                                 method="forward_att_scores"), np.float64)
+
+    def lm_logp(prefix):
+        ys = jnp.asarray([[1] + prefix], jnp.int32)
+        out = lm.apply(lm_params, ys, method="forward_logits")
+        lp = jax.nn.log_softmax(out[0, -1].astype(jnp.float32))
+        return np.asarray(lp, np.float64)
+
+    for b in range(bs):
+        # positions 0..lens inclusive are live (reference beams i <= length)
+        ylen = int(lens[b]) + 2
+        beams = [([], 0.0)]
+        for i in range(ylen - 1):
+            cand = []
+            for toks, sc in beams:
+                local = att[b, i] + W * lm_logp(toks)
+                for v in np.argsort(-local)[:K]:
+                    cand.append((toks + [int(v)], sc + local[v]))
+            cand.sort(key=lambda x: -x[1])
+            beams = cand[:K]
+        best = beams[0][0] if beams else []
+        want = np.zeros(umax, np.int32)
+        for i, t in enumerate(best):
+            want[i] = 0 if t == 2 else t
+        np.testing.assert_array_equal(np.asarray(got["tokens"])[b], want)
+
+
+def test_ctc_frame_beam_jit_lm_fusion_matches_host(rng):
+    """Device frame-sync CTC beam WITH KV-cached LM fusion must reproduce
+    the host beam given the same LM scores (VERDICT r2 item 6; reference
+    fuses batched LM queries in-beam, src/utils/beam_decode.py:31-55)."""
+    from cassnat_asr_public_tpu.models import make_lm
+    from cassnat_asr_public_tpu.utils.decoding import (
+        ctc_frame_beam_decode_jit)
+
+    B, T, V, K, W = 2, 10, 7, 3, 0.4
+    logits = rng.normal(size=(B, T, V)).astype(np.float32) * 2.0
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    sizes = np.asarray([T, T - 4])
+    lm = make_lm(Config(vocab_size=V, N=1, d_model=16, d_ff=32, n_head=2,
+                        dropout=0.0, padding_idx=0))
+    lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 4), jnp.int32))
+
+    memo = {}
+
+    def lm_score_fn(h, c):
+        if h not in memo:
+            ys = jnp.asarray([[1] + list(h)], jnp.int32)
+            out = lm.apply(lm_params, ys, method="forward_logits")
+            memo[h] = np.asarray(
+                jax.nn.log_softmax(out[0, -1].astype(jnp.float32)),
+                np.float64)
+        return memo[h][c]
+
+    for skip in (2.0, 0.6):
+        host = ctc_frame_beam_decode(lp, sizes, beam_width=K,
+                                     pruning_size=4, blank_skip=skip,
+                                     lm_score_fn=lm_score_fn, lm_weight=W,
+                                     return_nbest=K)
+        dev = ctc_frame_beam_decode_jit(jnp.asarray(lp), jnp.asarray(sizes),
+                                        beam_width=K, pruning_size=4,
+                                        blank_skip=skip, lm_model=lm,
+                                        lm_params=lm_params, lm_weight=W)
+        toks = np.asarray(dev["tokens"])
+        lens = np.asarray(dev["lengths"])
+        for b in range(B):
+            got = [list(toks[b, j, :lens[b, j]]) for j in range(K)]
+            want = []
+            for h in host[b]:
+                if h not in want:
+                    want.append(h)
+            assert got[:len(want)] == want, (b, skip, got, want)
