@@ -297,6 +297,82 @@ def main():
             if name == "mid":
                 result["value"] = round(rtf, 6)
                 result["vs_baseline"] = round(BASELINE_RTF / rtf, 2)
+
+        # ---- two-phase ESA (the production driver path,
+        # cassnat_task._nat_decode_two_phase): encoder+alignments, host
+        # picks THIS batch's umax + unique-candidate buckets, NAT+rank on
+        # exactly the unique candidates. Timed per dispatch (host in the
+        # loop by design); the ~25 ms/call tunnel latency of THIS harness
+        # is included, i.e. the number is conservative vs on-host serving.
+        from cassnat_asr_public_tpu.utils.decoding import (
+            esa_align_jit, select_unique_candidates)
+
+        def two_phase_call(p, f, key):
+            p1 = esa_align_jit(model, p, f, mask_esa, key,
+                               sample_num=sample_num, threshold=0.9)
+            kept, umax_b = select_unique_candidates(
+                p1["ylen"], p1["h1"], p1["h2"], p1["path_score"],
+                esa_batch, sample_num)
+            c = kept.shape[1]
+            um = min(max(8, -(-umax_b // 8) * 8), umax)
+            flat = jnp.asarray(kept.reshape(-1))
+            return nat_decode_jit(
+                model, p, f, mask_esa, key, umax=um, sample_num=c,
+                align="external", ext_shift=p1["shift"][flat],
+                ext_ylen=p1["ylen"][flat],
+                pre_enc=(p1["enc_h"], p1["enc_mask"], p1["ctc_out"]),
+                rank_model="lm", lm_apply=lm_apply, lm_params=lm_params,
+                lm_apply_logits=True), c, um
+
+        for name in ("mid", "peaked"):
+            p = cal[name]
+            # exactness vs the one-call decode on identical inputs
+            f = base_esa + jax.random.normal(
+                jax.random.PRNGKey(500), base_esa.shape) * 1e-6
+            key = jax.random.PRNGKey(501)
+            full = esa_call(p, f, key)
+            two, c0, um0 = two_phase_call(p, f, key)
+            t_full = np.asarray(full["tokens"])
+            t_two = np.asarray(two["tokens"])
+            w = min(t_full.shape[1], t_two.shape[1])
+            exact2 = bool(
+                np.array_equal(t_full[:, :w], t_two[:, :w])
+                and (t_full[:, w:] == 0).all() and (t_two[:, w:] == 0).all())
+            note(f"[{name}] two-phase exact_match={exact2} "
+                 f"C={c0} umax={um0}")
+            # warm the bucket compiles, then time per-dispatch
+            np.asarray(two_phase_call(
+                p, base_esa, jax.random.PRNGKey(502))[0]["tokens"])
+            ts, cs, ums = [], [], []
+            for i in range(4):
+                fi = base_esa + jax.random.normal(
+                    jax.random.PRNGKey(510 + i), base_esa.shape) * 1e-6
+                t0 = time.perf_counter()
+                o, ci, umi = two_phase_call(p, fi,
+                                            jax.random.PRNGKey(520 + i))
+                np.asarray(o["tokens"])
+                ts.append(time.perf_counter() - t0)
+                cs.append(ci)
+                ums.append(umi)
+            rtf2 = float(np.median(ts)) / (esa_batch * secs)
+            note(f"[{name}] two-phase rtf={rtf2:.2e} C={cs} umax={ums}")
+            result.update({
+                f"esa_two_phase_{name}_rtf": round(rtf2, 6),
+                f"esa_two_phase_{name}_vs_baseline":
+                    round(BASELINE_RTF / rtf2, 2),
+                f"esa_two_phase_{name}_bucket_C": cs,
+                f"esa_two_phase_{name}_bucket_umax": ums,
+                f"esa_two_phase_{name}_exact_match": exact2,
+            })
+            if name == "mid":
+                result["value"] = round(rtf2, 6)
+                result["vs_baseline"] = round(BASELINE_RTF / rtf2, 2)
+                result["unit"] = (
+                    "rtf, ESA parity config (sample_num=50 thr=0.9 + 16L "
+                    "transformer-LM rank, batch=16) via the two-phase "
+                    "production driver (exact unique-candidate + umax "
+                    "bucketing), 10%-low-confidence emission profile, "
+                    "per-dispatch timing incl. tunnel latency")
     except Exception as e:  # pragma: no cover - infra failure path
         note(f"ESA section failed: {e!r}")
 

@@ -29,7 +29,8 @@ def main(argv=None):
     out_path = args.result_file or "hyp.txt"
     with open(out_path, "w") as f:
         for utt, words in results.items():
-            text = "".join(words).replace("▁", " ").strip()
+            text = "".join(words).replace("▁", " ") \
+                .replace("<space>", " ").strip()
             f.write(f"{utt} {text}\n")
     print(f"Decoded {len(results)} utts in {elapsed:.2f}s -> {out_path}",
           flush=True)

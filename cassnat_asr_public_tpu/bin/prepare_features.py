@@ -55,10 +55,19 @@ def main(argv=None):
         with open(nframes_path, "w") as nf:
             for utt, path in entries:
                 wav, sr = read_wav(path)
+                # pad to a 0.5 s sample bucket so XLA compiles one fbank
+                # graph per bucket, not per unique wav length; snip_edges
+                # framing is local, so frames < num_frames(true length)
+                # are bit-identical and the pad frames are sliced off
+                true_nf = int(num_frames(len(wav)))
+                bucket = 8000
+                pad = (-len(wav)) % bucket
+                if pad:
+                    wav = np.concatenate([wav, np.zeros(pad, wav.dtype)])
                 feats = np.asarray(log_mel_fbank(
                     jnp.asarray(wav[None]), num_bins=args.num_bins,
                     window_type=args.window,
-                    sample_rate=args.sample_rate)[0])
+                    sample_rate=args.sample_rate)[0])[:true_nf]
                 nf.write(f"{utt} {feats.shape[0]}\n")
                 if args.cmvn:
                     feats_for_cmvn.append(feats)

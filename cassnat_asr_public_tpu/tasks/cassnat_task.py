@@ -244,8 +244,12 @@ class CassNATTask(BaseTask):
                     lm_apply_logits=getattr(self, "lm_apply_logits",
                                             False),
                     **self._decode_text_kwargs(feats, mask))
-                out = self._nat_decode_dedup(args, feats, mask, sub,
-                                             sample_num, kw)
+                if getattr(args, "esa_two_phase", False) and sample_num > 1:
+                    out = self._nat_decode_two_phase(args, feats, mask,
+                                                     sub, sample_num, kw)
+                else:
+                    out = self._nat_decode_dedup(args, feats, mask, sub,
+                                                 sample_num, kw)
                 if "cand_tokens" in out:
                     out = self._rank_ngram(out)
             if getattr(args, "test_hitrate", False):
@@ -299,6 +303,54 @@ class CassNATTask(BaseTask):
                 grew = True
             if not grew:
                 return out
+
+    def _nat_decode_two_phase(self, args, feats, mask, rng, sample_num, kw):
+        """Two-phase ESA decode: phase 1 (esa_align_jit) runs the encoder +
+        sampled alignments and hands back per-candidate metadata; the host
+        picks THIS batch's buckets — candidate count C = the true max
+        unique-alignment count (rounded to 8) and umax = the true max
+        alignment length (rounded to 8) — then phase 2 runs the NAT +
+        ranking on exactly the unique candidates via align='external' with
+        the phase-1 encoder outputs. Output is identical to the one-call
+        decode (duplicates share bit-identical NAT outputs; padding slots
+        repeat the argmax row); the NAT/LM batch shrinks from
+        B*sample_num*umax_static to B*C*umax_batch.
+
+        (reference: dynamic torch shapes did the umax part implicitly —
+        ymax = ylen.max().item(), cassnat.py:479 — and ranked all
+        sample_num candidates; this is the static-shape XLA equivalent
+        plus exact dedup.)
+        """
+        from cassnat_asr_public_tpu.utils.decoding import (
+            esa_align_jit, select_unique_candidates)
+        # same key the one-call path would hand ctc_sampled_align, so the
+        # two paths sample identical candidates (exactness is testable)
+        p1 = esa_align_jit(self.model, self.state.params, feats, mask, rng,
+                           sample_num=sample_num,
+                           threshold=getattr(args, "threshold", 0.9))
+        bs = feats.shape[0]
+        kept, umax_b = select_unique_candidates(
+            p1["ylen"], p1["h1"], p1["h2"], p1["path_score"], bs,
+            sample_num)
+        c = kept.shape[1]
+        flat = jnp.asarray(kept.reshape(-1))
+        umax = min(max(8, -(-umax_b // 8) * 8),
+                   getattr(args, "decode_max_tokens", 160))
+        kw = dict(kw)
+        kw.update(umax=umax, sample_num=c, align="external",
+                  ext_shift=p1["shift"][flat], ext_ylen=p1["ylen"][flat],
+                  pre_enc=(p1["enc_h"], p1["enc_mask"], p1["ctc_out"]))
+        kw.pop("esa_topk", None)
+        dedup_rank = min(getattr(args, "esa_rank_dedup", 0), c)
+        while True:
+            out = nat_decode_jit(
+                self.model, self.state.params, feats, mask, rng,
+                dedup_rank=(dedup_rank if 0 < dedup_rank < c else 0), **kw)
+            if "n_unique_rank" in out and \
+                    int(np.asarray(out["n_unique_rank"]).max()) > dedup_rank:
+                dedup_rank = min(dedup_rank * 2, c)
+                continue
+            return out
 
     def _rank_ngram(self, out):
         """Rank ESA candidates by ARPA n-gram sentence score / length.

@@ -98,7 +98,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    ext_shift=None, ext_ylen=None, lm_model=None,
                    text_input=None, text_mask=None, esa_topk: int = 0,
                    lm_apply_logits: bool = False, dedup_align: int = 0,
-                   dedup_rank: int = 0):
+                   dedup_rank: int = 0, pre_enc=None):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -134,8 +134,14 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         cap condition.
     """
     bs = feats.shape[0]
-    enc_h, enc_mask, ctc_out = model.apply(
-        params, feats, src_mask, method="encode_ctc")
+    if pre_enc is None:
+        enc_h, enc_mask, ctc_out = model.apply(
+            params, feats, src_mask, method="encode_ctc")
+    else:
+        # two-phase decoding: the driver already ran the encoder (via
+        # esa_align_jit) and picked umax / candidate buckets from the
+        # alignment lengths; don't run it twice.
+        enc_h, enc_mask, ctc_out = pre_enc
 
     enc_mask_1x = enc_mask
     n_cand = sample_num  # candidate rows per utterance after alignment
@@ -315,6 +321,68 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
 
     tokens = jnp.where(slot_valid, att_pred, 0)
     return {"tokens": tokens, "lengths": jnp.maximum(ylen - 1, 0), **stats}
+
+
+@partial(jax.jit, static_argnames=("model", "sample_num", "threshold"))
+def esa_align_jit(model, params, feats, src_mask, rng, sample_num: int,
+                  threshold: float = 0.9):
+    """Phase 1 of the two-phase ESA decode: encoder + CTC head + sampled
+    alignments + per-candidate row hashes.
+
+    The driver pulls ONLY the tiny per-candidate metadata (ylen, hashes,
+    path scores: 4 x (B*S,) scalars) to host, picks the umax and
+    candidate-count buckets for THIS batch (exact dedup at the true
+    per-batch unique count, output-slot budget at the true max length),
+    gathers the kept alignment rows on device, and calls nat_decode_jit
+    with align='external' and pre_enc set — the encoder runs once.
+
+    The reference's dynamic torch shapes did this implicitly
+    (ymax = ylen.max().item(), cassnat.py:479); under XLA this bucketing
+    is the static-shape equivalent.
+    """
+    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
+                                           method="encode_ctc")
+    from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
+    shift, ylen, psc = ctc_sampled_align(ctc_out, enc_mask, sample_num,
+                                         threshold=threshold, rng=rng,
+                                         return_scores=True)
+    h1, h2 = _row_hashes(shift, ylen)
+    return {"enc_h": enc_h, "enc_mask": enc_mask, "ctc_out": ctc_out,
+            "shift": shift, "ylen": ylen, "path_score": psc,
+            "h1": h1, "h2": h2}
+
+
+def select_unique_candidates(ylen, h1, h2, path_score, bs, sample_num,
+                             bucket=8):
+    """Host-side phase-1 -> phase-2 bucket selection (two-phase ESA).
+
+    Returns (kept (B, C) flat row indices — every unique alignment per
+    utterance, densest first, padded by repeating the densest row — and
+    umax_b = max alignment length + 2). C is the per-batch max unique
+    count rounded up to 8 (compile-shape bucketing). Exact: padding rows
+    are bit-identical duplicates of kept rows, so ranking over the kept
+    set reproduces ranking over all sample_num candidates.
+    """
+    ylen = np.asarray(ylen).reshape(bs, sample_num)
+    h1 = np.asarray(h1).reshape(bs, sample_num)
+    h2 = np.asarray(h2).reshape(bs, sample_num)
+    psc = np.asarray(path_score).reshape(bs, sample_num)
+    keep_rows, max_unique = [], 1
+    for b in range(bs):
+        seen = {}
+        for j in range(sample_num):
+            key = (int(h1[b, j]), int(h2[b, j]), int(ylen[b, j]))
+            if key not in seen:
+                seen[key] = j
+        uniq = sorted(seen.values(), key=lambda j: -psc[b, j])
+        max_unique = max(max_unique, len(uniq))
+        keep_rows.append(uniq)
+    c = min(-(-max_unique // bucket) * bucket, sample_num)
+    kept = np.zeros((bs, c), np.int64)
+    for b, uniq in enumerate(keep_rows):
+        row = (uniq + [uniq[0]] * c)[:c]
+        kept[b] = [b * sample_num + j for j in row]
+    return kept, int(ylen.max()) + 2
 
 
 @partial(jax.jit, static_argnames=("model",))

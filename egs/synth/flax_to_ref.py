@@ -1,0 +1,270 @@
+"""Transplant TRAINED flax params into the reference PyTorch models and run
+the REFERENCE decode on the same features.
+
+Inverse of the torch->flax mapping proven exact in
+tests/test_torch_parity.py (logits agree to ~1e-4); used by
+run_wer_parity.py stage 8 to produce repo-vs-reference WER on identical
+audio and identical weights (reference: src/models/cassnat.py:420-637
+beam_decode, src/models/lm.py).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference/src"
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
+sys.path.insert(0, REPO)
+
+
+def _import_ref():
+    import torch  # noqa: F401
+    for k in [k for k in sys.modules
+              if k == "models" or k.startswith("models.")
+              or k == "utils" or k.startswith("utils.")]:
+        del sys.modules[k]
+    if "editdistance" not in sys.modules:
+        ed = types.ModuleType("editdistance")
+        ed.eval = lambda a, b: 0
+        sys.modules["editdistance"] = ed
+    pkg = types.ModuleType("models")
+    pkg.__path__ = [REF + "/models"]
+    sys.modules["models"] = pkg
+    upkg = types.ModuleType("utils")
+    upkg.__path__ = [REF + "/utils"]
+    sys.modules["utils"] = upkg
+    sys.path.insert(0, REF)
+    import models.cassnat as ref_cassnat
+    import models.lm as ref_lm
+    return ref_cassnat, ref_lm
+
+
+# ---- flax -> torch state_dict builders (inverse of test_torch_parity) ----
+
+
+def _put_lin(sd, prefix, p, bias=True):
+    sd[f"{prefix}.weight"] = np.asarray(p["kernel"], np.float32).T
+    if bias:
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _put_norm(sd, prefix, p):
+    sd[f"{prefix}.a_2"] = np.asarray(p["scale"], np.float32)
+    sd[f"{prefix}.b_2"] = np.asarray(p["bias"], np.float32)
+
+
+def _put_mha(sd, prefix, p):
+    for i, k in enumerate(("q", "k", "v", "out")):
+        _put_lin(sd, f"{prefix}.linears.{i}", p[k])
+
+
+def _put_rel_mha(sd, prefix, p):
+    _put_mha(sd, prefix, p)
+    sd[f"{prefix}.linear_pos.weight"] = \
+        np.asarray(p["pos"]["kernel"], np.float32).T
+    sd[f"{prefix}.pos_bias_u"] = np.asarray(p["pos_bias_u"], np.float32)
+    sd[f"{prefix}.pos_bias_v"] = np.asarray(p["pos_bias_v"], np.float32)
+
+
+def _put_ff(sd, prefix, p):
+    _put_lin(sd, f"{prefix}.w_1", p["Dense_0"])
+    _put_lin(sd, f"{prefix}.w_2", p["Dense_1"])
+
+
+def _put_conv2d(sd, prefix, p):
+    sd[f"{prefix}.weight"] = \
+        np.asarray(p["kernel"], np.float32).transpose(3, 2, 0, 1)
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _put_conv_embed(sd, p, prefix="src_embed", rel=True):
+    _put_conv2d(sd, f"{prefix}.conv.0", p["conv1"])
+    _put_conv2d(sd, f"{prefix}.conv.2", p["conv2"])
+    _put_lin(sd, f"{prefix}.linear_out", p["linear_out"])
+    if rel:
+        sd[f"{prefix}.pos_enc.embedding.weight"] = \
+            np.asarray(p["pos_enc"]["table"], np.float32)
+
+
+def _put_conv_module(sd, prefix, p):
+    def c1d(tp, fp):
+        sd[f"{tp}.weight"] = \
+            np.asarray(fp["kernel"], np.float32).transpose(2, 1, 0)
+        sd[f"{tp}.bias"] = np.asarray(fp["bias"], np.float32)
+    c1d(f"{prefix}.pointwise_conv1", p["pointwise1"])
+    c1d(f"{prefix}.depthwise_conv", p["depthwise"])
+    c1d(f"{prefix}.pointwise_conv2", p["pointwise2"])
+    sd[f"{prefix}.norm.weight"] = np.asarray(p["norm"]["scale"], np.float32)
+    sd[f"{prefix}.norm.bias"] = np.asarray(p["norm"]["bias"], np.float32)
+
+
+def _put_con_layer(sd, prefix, p):
+    _put_ff(sd, f"{prefix}.feed_forward1", p["ff1"])
+    _put_ff(sd, f"{prefix}.feed_forward2", p["ff2"])
+    _put_rel_mha(sd, f"{prefix}.self_attn", p["self_attn"])
+    _put_conv_module(sd, f"{prefix}.conv_module", p["conv"])
+    _put_norm(sd, f"{prefix}.sublayer.0.norm", p["sub_ff1"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.1.norm", p["sub_conv"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.2.norm", p["sub_attn"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.3.norm", p["sub_ff2"]["norm"])
+
+
+def _put_con_mad_layer(sd, prefix, p):
+    _put_ff(sd, f"{prefix}.feed_forward1", p["ff1"])
+    _put_ff(sd, f"{prefix}.feed_forward2", p["ff2"])
+    _put_rel_mha(sd, f"{prefix}.self_attn", p["self_attn"])
+    _put_mha(sd, f"{prefix}.src_attn", p["src_attn"])
+    _put_conv_module(sd, f"{prefix}.conv_module", p["conv"])
+    _put_norm(sd, f"{prefix}.sublayer.0.norm", p["sub_ff1"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.1.norm", p["sub_conv"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.2.norm", p["sub_self"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.3.norm", p["sub_src"]["norm"])
+    _put_norm(sd, f"{prefix}.sublayer.4.norm", p["sub_ff2"]["norm"])
+
+
+def _put_generator(sd, prefix, p):
+    _put_lin(sd, f"{prefix}.proj", p["proj"])
+
+
+def cassnat_state_dict(params, n_enc, n_sad, n_mad):
+    p = params["params"]
+    sd = {}
+    _put_conv_embed(sd, p["src_embed"], "src_embed", rel=True)
+    for i in range(n_enc):
+        _put_con_layer(sd, f"encoder.layers.{i}", p["encoder"][f"layer{i}"])
+    _put_norm(sd, "encoder.norm", p["encoder"]["norm"])
+    ae = p["acembed_extractor"]
+    _put_mha(sd, "acembed_extractor.layers.0.src_attn", ae["src_attn"])
+    _put_ff(sd, "acembed_extractor.layers.0.feed_forward", ae["ff"])
+    _put_norm(sd, "acembed_extractor.layers.0.sublayer.norm",
+              ae["sub_ff"]["norm"])
+    sd["acembed_extractor.layers.0.pos_enc.embedding.weight"] = \
+        np.asarray(ae["pos_enc"]["table"], np.float32)
+    for i in range(n_sad):
+        _put_con_layer(sd, f"embed_mapper.layers.{i}",
+                       p["embed_mapper"][f"layer{i}"])
+    for i in range(n_mad):
+        _put_con_mad_layer(sd, f"decoder.layers.{i}",
+                           p["decoder"][f"layer{i}"])
+    _put_norm(sd, "decoder.norm", p["decoder"]["norm"])
+    _put_generator(sd, "ctc_generator", p["ctc_generator"])
+    _put_generator(sd, "att_generator", p["att_generator"])
+    return sd
+
+
+def lm_state_dict(params, n_layers):
+    """Our TransformerLM -> reference models/lm.py TransformerLM."""
+    p = params["params"]
+    sd = {}
+    sd["text_embed.0.lut.weight"] = np.asarray(
+        p["embed"]["Embed_0"]["embedding"], np.float32)
+    for i in range(n_layers):
+        lp = p[f"layer{i}"]
+        for j, k in enumerate(("q", "k", "v", "out")):
+            _put_lin(sd, f"encoder.layers.{i}.self_attn.linears.{j}",
+                     lp["self_attn"][k])
+        _put_ff(sd, f"encoder.layers.{i}.feed_forward", lp["ff"])
+        _put_norm(sd, f"encoder.layers.{i}.sublayer.0.norm", lp["norm1"])
+        _put_norm(sd, f"encoder.layers.{i}.sublayer.1.norm", lp["norm2"])
+    _put_norm(sd, "encoder.norm", p["norm"])
+    _put_generator(sd, "out_generator", p["generator"])
+    return sd
+
+
+def _load_sd(model, sd_np, label):
+    import torch
+    sd = {k: torch.tensor(v) for k, v in sd_np.items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # buffers (pe tables) and any reference-only leftovers must be the ONLY
+    # missing keys; unexpected means the mapping is wrong.
+    bad_missing = [k for k in missing
+                   if not (k.endswith(".pe") or k == "pe"
+                           or "pos_enc.embedding" in k)]
+    assert not unexpected, f"{label}: unexpected keys {unexpected[:8]}"
+    assert not bad_missing, f"{label}: missing keys {bad_missing[:8]}"
+    return model
+
+
+def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
+                         sample_num=1, lm_exp=None, lm_layers=2):
+    """Decode the synth test set with the REFERENCE CassNAT.beam_decode on
+    transplanted trained weights. rank_model 'none' forces sample_num=1
+    (the reference has no rank-free multi-sample path)."""
+    import torch
+    from cassnat_asr_public_tpu.utils import checkpoint as ckpt
+    from cassnat_asr_public_tpu.utils.config import merge_configs
+    from cassnat_asr_public_tpu.data.vocab import Vocab
+    from cassnat_asr_public_tpu.data.kaldi_io import (load_cmvn_stats,
+                                                      read_matrix, read_scp)
+
+    ref_cassnat, ref_lm = _import_ref()
+    cfg = merge_configs(None, f"{here}/conf/cassnat_train.yaml")
+    ns = types.SimpleNamespace(**{k: getattr(cfg, k) for k in vars(cfg)})
+    ns.dropout = 0.0
+    ns.att_alpha = 1.0
+    ns.interce_alpha = 0.0
+    ns.interce_layer = 0
+    ns.model_type = "conformer"
+    ns.sample_dist = 0
+    ns.save_embedding = False
+    ns.test_hitrate = False
+    ns.use_gpu = False
+    ns.beam_width = 1
+    ns.lm_weight = 0.0
+    ns.length_penalty = 0.0
+    ns.decode_type = "esa_att"
+    ns.sample_num = sample_num if rank_model != "none" else 1
+    ns.threshold = 0.9
+    ns.rank_model = rank_model
+
+    model = ref_cassnat.make_model(cfg.input_size, ns).eval()
+    state = ckpt.load_checkpoint(os.path.join(exp_dir, "best_model.ckpt"))
+    sd = cassnat_state_dict(state, cfg.N_enc, cfg.N_self_dec, cfg.N_mix_dec)
+    _load_sd(model, sd, "cassnat")
+
+    lm_model = None
+    if rank_model == "lm":
+        lm_ns = types.SimpleNamespace(
+            vocab_size=cfg.vocab_size, N=lm_layers, d_model=128, d_ff=512,
+            n_head=4, dropout=0.0)
+        lm_model = ref_lm.make_model(lm_ns).eval()
+        lm_state = ckpt.load_checkpoint(
+            os.path.join(lm_exp, "best_model.ckpt"))
+        _load_sd(lm_model, lm_state_dict(lm_state, lm_layers), "lm")
+
+    vocab = Vocab(os.path.join(data_dir, "dict", "vocab_char.txt"))
+    mean, std = load_cmvn_stats(os.path.join(data_dir, "fbank", "cmvn.ark"))
+    scp = read_scp(os.path.join(data_dir, "fbank", "test", "feats.scp"))
+
+    # reference align_to_mask hard-codes .cuda(); neutralize on CPU
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    hyps = {}
+    try:
+        utts = sorted(scp)
+        B = 8
+        for s in range(0, len(utts), B):
+            chunk = utts[s:s + B]
+            feats = [((read_matrix(scp[u]) - mean) / std).astype(np.float32)
+                     for u in chunk]
+            tmax = max(f.shape[0] for f in feats)
+            src = np.zeros((len(chunk), tmax, feats[0].shape[1]), np.float32)
+            sizes = np.zeros((len(chunk),), np.float32)
+            for i, f in enumerate(feats):
+                src[i, :f.shape[0]] = f
+                sizes[i] = f.shape[0] / tmax
+            x_mask = (np.arange(tmax)[None, :]
+                      < (sizes * tmax)[:, None])[:, None, :]
+            with torch.no_grad():
+                seqs = model.beam_decode(
+                    torch.tensor(src), torch.tensor(x_mask),
+                    torch.tensor(sizes), vocab, ns, lm_model=lm_model)
+            for i, u in enumerate(chunk):
+                toks = [t for t in seqs[i][0]["hyp"] if t > 2]
+                hyps[u] = vocab.decode(toks)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    return hyps

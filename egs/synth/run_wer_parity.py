@@ -138,6 +138,7 @@ vocab_file: {DATA}/dict/vocab_char.txt
 """)
     sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.lm_train",
         "--exp_dir", LM_EXP, "--train_config", f"{HERE}/conf/lm.yaml",
+        "--data_config", f"{HERE}/conf/lm.yaml",
         "--optim_type", "noam", "--epochs", "12", "--task", "lm"])
 
 
@@ -183,6 +184,9 @@ DECODE_MODES = {
                             esa_rank_dedup=8),
     "esa_lm_topk16": dict(decode_type="esa_att", sample_num=50,
                           threshold=0.9, rank_model="lm", esa_topk=16),
+    "esa_lm_50_2phase": dict(decode_type="esa_att", sample_num=50,
+                             threshold=0.9, rank_model="lm",
+                             esa_two_phase=True, esa_rank_dedup=8),
 }
 
 
@@ -205,10 +209,13 @@ def stage_decode():
         del task
     with open(f"{HERE}/decode_results.json", "w") as f:
         json.dump(results, f, indent=1)
-    # dedup must not change the ESA output (same decode seed)
+    # dedup / two-phase must not change the ESA output (same decode seed)
     assert abs(results["esa_lm_50"]["wer"]
                - results["esa_lm_50_dedup"]["wer"]) < 1e-9, \
         "dedup changed the ESA WER"
+    assert abs(results["esa_lm_50"]["wer"]
+               - results["esa_lm_50_2phase"]["wer"]) < 1e-9, \
+        "two-phase decode changed the ESA WER"
 
 
 def stage_stats():
@@ -253,15 +260,20 @@ def stage_stats():
 def stage_reference():
     """Reference torch CassNAT decoding the SAME features with the SAME
     (transplanted) weights — ESA decode, reference code path."""
+    sys.path.insert(0, HERE)
     from flax_to_ref import reference_esa_decode
     refs = read_text(f"{DATA}/test/text")
-    for rank in ("none",):
-        hyps = reference_esa_decode(EXP, DATA, HERE, rank_model=rank)
+    out = {}
+    for name, kw in (
+            ("reference_bestpath_1", dict(rank_model="none", sample_num=1)),
+            ("reference_esa_lm_50", dict(rank_model="lm", sample_num=50,
+                                         lm_exp=LM_EXP))):
+        hyps = reference_esa_decode(EXP, DATA, HERE, **kw)
         rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
-        print(f"[reference esa rank={rank}] WER {rep['wer']*100:.2f}%",
-              flush=True)
-        with open(f"{HERE}/reference_results.json", "w") as f:
-            json.dump({f"reference_esa_{rank}": rep}, f, indent=1)
+        out[name] = rep
+        print(f"[{name}] WER {rep['wer']*100:.2f}%", flush=True)
+    with open(f"{HERE}/reference_results.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 def stage_report():

@@ -124,3 +124,36 @@ def test_dedup_both_stages_exact(tiny_setup):
                     dedup_align=max(c1, 2), dedup_rank=max(c2, 2))
     np.testing.assert_array_equal(np.asarray(full["tokens"]),
                                   np.asarray(dedup["tokens"]))
+
+
+def test_two_phase_exact(tiny_setup):
+    """Two-phase decode (esa_align_jit + host bucket selection +
+    nat_decode_jit external/pre_enc) must equal the one-call ESA decode."""
+    from cassnat_asr_public_tpu.utils.decoding import (
+        esa_align_jit, select_unique_candidates)
+    model, params, feats, mask, lm_apply = tiny_setup
+    rng = jax.random.PRNGKey(5)
+    full = nat_decode_jit(
+        model, params, feats, mask, rng, umax=24, sample_num=SAMPLE_NUM,
+        threshold=0.9, rank_model="lm", lm_apply=lm_apply,
+        lm_apply_logits=True)
+
+    p1 = esa_align_jit(model, params, feats, mask, rng,
+                       sample_num=SAMPLE_NUM, threshold=0.9)
+    bs = feats.shape[0]
+    kept, umax_b = select_unique_candidates(
+        p1["ylen"], p1["h1"], p1["h2"], p1["path_score"], bs, SAMPLE_NUM,
+        bucket=4)
+    c = kept.shape[1]
+    assert c < SAMPLE_NUM  # fixture is peaked: dedup actually engages
+    flat = jnp.asarray(kept.reshape(-1))
+    two = nat_decode_jit(
+        model, params, feats, mask, rng, umax=24, sample_num=c,
+        align="external", ext_shift=p1["shift"][flat],
+        ext_ylen=p1["ylen"][flat],
+        pre_enc=(p1["enc_h"], p1["enc_mask"], p1["ctc_out"]),
+        rank_model="lm", lm_apply=lm_apply, lm_apply_logits=True)
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(two["tokens"]))
+    np.testing.assert_array_equal(np.asarray(full["lengths"]),
+                                  np.asarray(two["lengths"]))

@@ -82,3 +82,21 @@ def test_spec_augment_jit(rng):
                            max_time_width=0.2, n_time_mask=2)
     assert out.shape == f.shape
     assert not np.allclose(np.asarray(out), np.asarray(f))
+
+
+def test_fbank_zero_pad_invariance():
+    """Zero-padding a wav to a length bucket must not change the frames
+    below num_frames(true length) — the compile-bucketing in
+    bin/prepare_features.py relies on this (snip_edges framing is local)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cassnat_asr_public_tpu.ops.frontend import log_mel_fbank, num_frames
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(12345,)).astype(np.float32)
+    nf = int(num_frames(len(wav)))
+    a = np.asarray(log_mel_fbank(jnp.asarray(wav[None]))[0])[:nf]
+    padded = np.concatenate([wav, np.zeros(8000 - len(wav) % 8000,
+                                           np.float32)])
+    b = np.asarray(log_mel_fbank(jnp.asarray(padded[None]))[0])[:nf]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
