@@ -41,7 +41,11 @@ def learn_bpe(lines, vocab_size: int, coverage_chars: bool = True
             pieces[ch] += cnt
     vocab = {p for p in pieces}
     merges = []
-    while len(vocab) + len(merges) < vocab_size:
+    # vocab already contains every merged piece (vocab.add below), so the
+    # budget check is on len(vocab) alone — counting merges separately
+    # double-counted and produced half-size vocabularies (caught by
+    # tests/test_spm_vs_hf.py's cross-validation against HF tokenizers)
+    while len(vocab) < vocab_size:
         pair_counts = collections.Counter()
         for w, sym in words.items():
             cnt = counts[w]

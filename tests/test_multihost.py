@@ -17,29 +17,80 @@ WORKER = r"""
 import os, sys
 rank = int(os.environ["RANK"])
 from cassnat_asr_public_tpu.parallel.mesh import (distributed_init,
-                                                  make_mesh, shard_batch)
+                                                  make_mesh, replicated,
+                                                  shard_batch)
 distributed_init()
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
 mesh = make_mesh()
 assert mesh.shape["data"] == 8
-full = np.arange(8 * 5, dtype=np.float32).reshape(8, 5)
-local = full[rank * 4:(rank + 1) * 4]
-batch = shard_batch({"x": local, "scale": np.float32(0.5)}, mesh)
 
-@jax.jit
-def step(d):
-    return (d["x"] * d["scale"]).sum(), (d["x"] ** 2).mean()
+# REAL jitted CASS-NAT train step over Gloo (VERDICT r2 item 8): the
+# global batch is sharded across both processes' devices, params are
+# replicated, and the resulting loss / grad-norm / updated params must
+# match the same step computed single-process on the full batch.
+from __graft_entry__ import _tiny_cassnat
+model = _tiny_cassnat()
+rng = jax.random.PRNGKey(0)
+B, T, F, U = 8, 64, 40, 8
+kf, kl = jax.random.split(rng)
+full_feats = np.asarray(jax.random.normal(kf, (B, T, F), jnp.float32))
+full_mask = np.ones((B, T), bool)
+full_labels = np.concatenate(
+    [np.asarray(jax.random.randint(kl, (B, U), 3, 64)),
+     np.full((B, 1), 2, np.int32)], axis=1).astype(np.int32)
+full_sizes = np.full((B,), U, np.int32)
+params = model.init({"params": rng}, jnp.asarray(full_feats[:2]),
+                    jnp.asarray(full_mask[:2]),
+                    jnp.asarray(full_labels[:2]),
+                    jnp.asarray(full_sizes[:2]))
+tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+opt_state = tx.init(params)
 
-tot, sq = step(batch)
-want_tot = float((full * 0.5).sum())
-want_sq = float((full ** 2).mean())
-assert abs(float(tot) - want_tot) < 1e-4, (float(tot), want_tot)
-assert abs(float(sq) - want_sq) < 1e-4, (float(sq), want_sq)
-print(f"rank{rank} MH_OK {float(tot)}", flush=True)
+def loss_fn(p, d):
+    return model.apply(p, d["feats"], d["src_mask"], d["labels"],
+                       d["label_sizes"], deterministic=True)["loss"]
+
+def train_step(p, s, d):
+    loss, grads = jax.value_and_grad(loss_fn)(p, d)
+    gnorm = optax.global_norm(grads)
+    updates, s = tx.update(grads, s, p)
+    p = optax.apply_updates(p, updates)
+    return loss, gnorm, p, s
+
+# single-process reference on local devices only (no collectives)
+l1, g1, p1, _ = jax.jit(train_step)(params, opt_state, {
+    "feats": jnp.asarray(full_feats), "src_mask": jnp.asarray(full_mask),
+    "labels": jnp.asarray(full_labels),
+    "label_sizes": jnp.asarray(full_sizes)})
+
+# multi-host: each process holds its half of the batch
+sl = slice(rank * 4, (rank + 1) * 4)
+batch = shard_batch({"feats": full_feats[sl], "src_mask": full_mask[sl],
+                     "labels": full_labels[sl],
+                     "label_sizes": full_sizes[sl]}, mesh)
+rep = replicated(mesh)
+params_g = jax.tree_util.tree_map(
+    lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+    params)
+opt_g = jax.tree_util.tree_map(
+    lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+    opt_state)
+l2, g2, p2, _ = jax.jit(train_step)(params_g, opt_g, batch)
+
+assert abs(float(l1) - float(l2)) < 1e-4, (float(l1), float(l2))
+assert abs(float(g1) - float(g2)) < 1e-3, (float(g1), float(g2))
+leaves1 = jax.tree_util.tree_leaves(p1)
+leaves2 = jax.tree_util.tree_leaves(p2)
+for a, b in list(zip(leaves1, leaves2))[::7]:
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=5e-4, atol=5e-5)
+print(f"rank{rank} MH_OK loss={float(l2):.5f} gnorm={float(g2):.4f}",
+      flush=True)
 """
 
 
