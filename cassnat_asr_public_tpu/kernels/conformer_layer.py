@@ -1,0 +1,283 @@
+"""Fused conformer encoder layer as ONE Pallas kernel (the "megakernel").
+
+Motivation (PARITY.md r2 roadmap / VERDICT r2 item 4): at decode shapes
+(B=32, T'=184, d=512) every encoder submodule measures ~0.5 ms standalone
+vs ~0.06 ms FLOP roofline — the layer is small-tensor/HBM-bound. This
+kernel keeps the residual stream and every intermediate in VMEM across
+ffn½ → rel-attention → conv-module → ffn½ (one grid step per batch row;
+weights are constant blocks fetched once per layer), so HBM traffic per
+layer drops to x-in + x-out + weights.
+
+Numerics mirror nn/blocks.ConEncoderLayer exactly (same sublayer
+pre-norms with Bessel-variance LayerNorm, compact clamped-table relative
+attention with pos_bias_u/v, GLU + depthwise conv + GroupNorm(1) + swish,
+0.5-scaled FFN halves; reference: src/models/blocks/conformer_blocks.py +
+src/models/modules/*), with bf16 matmuls / f32 statistics like the XLA
+path. The position projection p = pos_table @ W_pos is input-independent
+and precomputed per layer outside the kernel.
+
+Used by `fused_encode` (decode-time, inference only — no custom VJP);
+gated by `enable_conformer_megakernel` with the XLA encoder as default
+until the end-to-end A/B on-chip says otherwise (CLAUDE.md: trust
+bench.py end-to-end, not standalone microbenches).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_MIN = -1e9
+
+_MEGAKERNEL = False
+
+
+def enable_conformer_megakernel(on: bool):
+    global _MEGAKERNEL
+    _MEGAKERNEL = on
+
+
+def megakernel_enabled() -> bool:
+    return _MEGAKERNEL
+
+
+def _layernorm(x32, scale, bias):
+    """LayerNorm with the reference numerics (Bessel std, eps outside):
+    scale * (x - mean) / (sqrt(var_bessel + 1e-12) + 1e-6) + bias."""
+    d = x32.shape[-1]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True) \
+        * (d / max(d - 1, 1))
+    std = jnp.sqrt(var + 1e-12)
+    return scale[None, :] * (x32 - mean) / (std + 1e-6) + bias[None, :]
+
+
+def _conformer_layer_kernel(
+        # per-batch-row blocks
+        x_ref, mask_ref,
+        # packed norms (10, D) f32: ff1 s/b, attn s/b, conv s/b, ff2 s/b,
+        # groupnorm s/b
+        norms_ref,
+        # ffn1 / ffn2
+        w1a_ref, b1a_ref, w2a_ref, b2a_ref,
+        w1b_ref, b1b_ref, w2b_ref, b2b_ref,
+        # attention
+        wq_ref, wk_ref, wv_ref, wo_ref, battn_ref,  # battn (4, D): q/k/v/o
+        p_ref, ubias_ref,                            # p (2R+1, D); u/v (2, D)
+        # conv module
+        pw1_ref, pw1b_ref, dw_ref, dwb_ref, pw2_ref, pw2b_ref,
+        # output
+        out_ref,
+        *, n_head: int, r_eff: int):
+    t, d = x_ref.shape[1], x_ref.shape[2]
+    h = n_head
+    dk = d // h
+    f = w1a_ref.shape[1]
+    cdtype = x_ref.dtype
+
+    def mm(a32, w_ref, b=None):
+        """bf16 matmul with f32 accumulation (+ optional bias), like
+        nn.Dense(dtype=bf16) followed by the XLA f32 upcast."""
+        out = jax.lax.dot_general(
+            a32.astype(cdtype), w_ref[:, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if b is not None:
+            out = out + b.astype(jnp.float32)[None, :]
+        return out
+
+    x = x_ref[0].astype(jnp.float32)                     # (T, D)
+    maskf = mask_ref[0].astype(jnp.float32)              # (T,)
+
+    # ---- ff1 (scale 0.5) ----
+    hln = _layernorm(x, norms_ref[0], norms_ref[1])
+    hmid = mm(hln, w1a_ref, b1a_ref[0])
+    hmid = hmid * jax.nn.sigmoid(hmid)                   # swish
+    hout = mm(hmid.astype(jnp.float32), w2a_ref, b2a_ref[0])
+    x = x + 0.5 * hout
+
+    # ---- relative-position self-attention ----
+    hln = _layernorm(x, norms_ref[2], norms_ref[3])
+    q = mm(hln, wq_ref, battn_ref[0])                    # (T, D)
+    k = mm(hln, wk_ref, battn_ref[1])
+    v = mm(hln, wv_ref, battn_ref[2])
+    u_bias = ubias_ref[0].astype(jnp.float32)            # (D,)
+    v_bias = ubias_ref[1].astype(jnp.float32)
+    inv_sqrt_dk = 1.0 / math.sqrt(dk)
+    # relative-offset map, clipped: off[qi, ki] in [0, 2r_eff]
+    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    off = jnp.clip(ki - qi, -r_eff, r_eff) + r_eff
+    kmask = (maskf > 0.5)[None, :]                       # (1, T) key mask
+
+    ctx = jnp.zeros((t, d), jnp.float32)
+    for hd in range(h):
+        sl = slice(hd * dk, (hd + 1) * dk)
+        q_h = q[:, sl]
+        k_h = k[:, sl]
+        v_h = v[:, sl]
+        p_h = p_ref[:, sl].astype(cdtype)                # (2R+1, dk)
+        qu = (q_h + u_bias[None, sl]).astype(cdtype)
+        qv = (q_h + v_bias[None, sl]).astype(cdtype)
+        scores = jax.lax.dot_general(
+            qu, k_h.astype(cdtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_dk   # (T, T)
+        small = jax.lax.dot_general(
+            qv, p_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_dk   # (T, 2R+1)
+        # Toeplitz expansion: scores[qi, ki] += small[qi, off[qi, ki]]
+        for o in range(2 * r_eff + 1):
+            scores = scores + jnp.where(off == o, small[:, o][:, None], 0.0)
+        scores = jnp.where(kmask, scores, MASK_MIN)
+        smax = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - smax)
+        e = jnp.where(kmask, e, 0.0)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctx_h = jax.lax.dot_general(
+            w.astype(cdtype), v_h.astype(cdtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ctx = jax.lax.dynamic_update_slice(ctx, ctx_h, (0, hd * dk))
+    x = x + mm(ctx, wo_ref, battn_ref[3])
+
+    # ---- conv module: pw1 -> GLU -> depthwise -> GroupNorm -> swish -> pw2
+    hln = _layernorm(x, norms_ref[4], norms_ref[5])
+    pw = mm(hln, pw1_ref, pw1b_ref[0])                   # (T, 2D)
+    g = pw[:, :d] * jax.nn.sigmoid(pw[:, d:])            # GLU
+    # SAME depthwise conv, kernel K: out[t] = sum_j g[t + j - K//2] * w[j]
+    kk = dw_ref.shape[0]
+    half = kk // 2
+    acc = jnp.zeros((t, d), jnp.float32)
+    for j in range(kk):
+        shift = j - half
+        wj = dw_ref[j].astype(jnp.float32)[None, :]
+        if shift == 0:
+            acc = acc + g * wj
+        elif shift > 0:
+            seg = g[shift:, :] * wj
+            acc = acc.at[:t - shift, :].add(seg)
+        else:
+            seg = g[:t + shift, :] * wj
+            acc = acc.at[-shift:, :].add(seg)
+    acc = acc + dwb_ref[0].astype(jnp.float32)[None, :]
+    # GroupNorm(1): flax numerics — (x-mean)*rsqrt(var+1e-5), stats over
+    # the whole (T, C) block
+    gmean = jnp.mean(acc)
+    gvar = jnp.mean((acc - gmean) ** 2)
+    gn = (acc - gmean) * jax.lax.rsqrt(gvar + 1e-5)
+    gn = gn * norms_ref[8][None, :] + norms_ref[9][None, :]
+    gn = gn * jax.nn.sigmoid(gn)                         # swish
+    x = x + mm(gn, pw2_ref, pw2b_ref[0])
+
+    # ---- ff2 (scale 0.5) ----
+    hln = _layernorm(x, norms_ref[6], norms_ref[7])
+    hmid = mm(hln, w1b_ref, b1b_ref[0])
+    hmid = hmid * jax.nn.sigmoid(hmid)
+    hout = mm(hmid.astype(jnp.float32), w2b_ref, b2b_ref[0])
+    x = x + 0.5 * hout
+
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def _pack_norms(lp):
+    rows = []
+    for name in ("sub_ff1", "sub_attn", "sub_conv", "sub_ff2"):
+        rows.append(lp[name]["norm"]["scale"])
+        rows.append(lp[name]["norm"]["bias"])
+    rows.append(lp["conv"]["norm"]["scale"])
+    rows.append(lp["conv"]["norm"]["bias"])
+    return jnp.stack([r.astype(jnp.float32) for r in rows])
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def conformer_layer_fused(lp, x, maskf, pos_table, n_head: int = 8,
+                          interpret: bool = False):
+    """Apply one fused conformer layer.
+
+    lp: the layer's param subtree (params['encoder']['layer{i}']);
+    x: (B, T, D) compute-dtype activations; maskf: (B, T) float 1/0;
+    pos_table: the (2R+1, D) clamped rel-PE table already sliced to
+    r_eff = min(R, T-1) rows (as RelativePositionalEncoding emits).
+    """
+    b, t, d = x.shape
+    cdtype = x.dtype
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True      # Pallas CPU backend is interpret-only
+    r_eff = (pos_table.shape[0] - 1) // 2
+    att = lp["self_attn"]
+    # input-independent position projection (no bias)
+    p = jnp.dot(pos_table.astype(cdtype), att["pos"]["kernel"].astype(cdtype),
+                preferred_element_type=jnp.float32).astype(cdtype)
+    battn = jnp.stack([att[k]["bias"].astype(jnp.float32)
+                       for k in ("q", "k", "v", "out")])
+    ubias = jnp.stack([att["pos_bias_u"].reshape(-1).astype(jnp.float32),
+                       att["pos_bias_v"].reshape(-1).astype(jnp.float32)])
+    cv = lp["conv"]
+    args = (
+        x, maskf.astype(jnp.float32),
+        _pack_norms(lp),
+        lp["ff1"]["Dense_0"]["kernel"].astype(cdtype),
+        lp["ff1"]["Dense_0"]["bias"].astype(jnp.float32)[None],
+        lp["ff1"]["Dense_1"]["kernel"].astype(cdtype),
+        lp["ff1"]["Dense_1"]["bias"].astype(jnp.float32)[None],
+        lp["ff2"]["Dense_0"]["kernel"].astype(cdtype),
+        lp["ff2"]["Dense_0"]["bias"].astype(jnp.float32)[None],
+        lp["ff2"]["Dense_1"]["kernel"].astype(cdtype),
+        lp["ff2"]["Dense_1"]["bias"].astype(jnp.float32)[None],
+        att["q"]["kernel"].astype(cdtype),
+        att["k"]["kernel"].astype(cdtype),
+        att["v"]["kernel"].astype(cdtype),
+        att["out"]["kernel"].astype(cdtype),
+        battn, p, ubias,
+        cv["pointwise1"]["kernel"][0].astype(cdtype),     # (D, 2D)
+        cv["pointwise1"]["bias"].astype(jnp.float32)[None],
+        cv["depthwise"]["kernel"][:, 0, :].astype(jnp.float32),  # (K, D)
+        cv["depthwise"]["bias"].astype(jnp.float32)[None],
+        cv["pointwise2"]["kernel"][0].astype(cdtype),
+        cv["pointwise2"]["bias"].astype(jnp.float32)[None],
+    )
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    in_specs = [
+        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, t), lambda i: (i, 0)),
+    ] + [const_spec(a) for a in args[2:]]
+
+    kern = functools.partial(_conformer_layer_kernel, n_head=n_head,
+                             r_eff=r_eff)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), cdtype),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_encode_ctc(model, params, feats, src_mask, interpret: bool = False):
+    """Full encode_ctc with the fused-layer encoder: frontend and CTC head
+    via the model's own submodules, encoder layers via the megakernel,
+    final encoder LayerNorm inline. Drop-in producer for nat_decode_jit's
+    `pre_enc` (conformer/relative encoders only)."""
+    (x, pos_embed), enc_mask = model.apply(
+        params, feats, src_mask,
+        method=lambda m, f, msk: m.src_embed(f, msk, deterministic=True))
+    maskf = enc_mask.astype(jnp.float32)
+    enc_p = params["params"]["encoder"]
+    n_layers = sum(1 for k in enc_p if k.startswith("layer"))
+    for i in range(n_layers):
+        x = conformer_layer_fused(enc_p[f"layer{i}"], x, maskf, pos_embed,
+                                  n_head=model.n_head, interpret=interpret)
+    nrm = enc_p["norm"]
+    x32 = x.astype(jnp.float32)
+    enc_h = _layernorm(
+        x32.reshape(-1, x32.shape[-1]), nrm["scale"], nrm["bias"]) \
+        .reshape(x32.shape).astype(x.dtype)
+    ctc_out = model.apply(params, enc_h,
+                          method=lambda m, h: m.ctc_generator(h))
+    return enc_h, enc_mask, ctc_out

@@ -108,12 +108,8 @@ def stage_tokens():
 
 
 def stage_lm():
-    # char-LM corpus = tokenized training transcripts
+    # char-LM corpus = the tokenized training transcripts (utt-id format)
     os.makedirs(LM_EXP, exist_ok=True)
-    with open(f"{DATA}/lm_corpus.txt", "w") as f:
-        for utt, toks in sorted(read_text(
-                f"{DATA}/train/token_char.scp").items()):
-            f.write(" ".join(toks) + "\n")
     with open(f"{HERE}/conf/lm.yaml", "w") as f:
         f.write(f"""model_type: uniLM
 N: 2
@@ -125,21 +121,22 @@ vocab_size: 19
 padding_idx: 0
 batch_size: 64
 max_len: 120
-epochs: 12
+epochs: 25
 print_freq: 50
-learning_rate: 0.0
-noam_factor: 1.0
-warmup_steps: 300
+learning_rate: 0.001
+noam_factor: 0.3
+warmup_steps: 400
 warmup_type: noam_warmup
 grad_clip: 5
-train_text: {DATA}/lm_corpus.txt
-dev_text: {DATA}/lm_corpus.txt
+eps: 1.0e-8
+train_text: {DATA}/train/token_char.scp
+dev_text: {DATA}/dev/token_char.scp
 vocab_file: {DATA}/dict/vocab_char.txt
 """)
     sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.lm_train",
         "--exp_dir", LM_EXP, "--train_config", f"{HERE}/conf/lm.yaml",
         "--data_config", f"{HERE}/conf/lm.yaml",
-        "--optim_type", "noam", "--epochs", "12", "--task", "lm"])
+        "--optim_type", "normal", "--epochs", "25", "--task", "lm"])
 
 
 def stage_train():
