@@ -77,11 +77,9 @@ def main():
             def body(i, acc):
                 f = base + jax.random.normal(
                     jax.random.fold_in(key, i), base.shape) * 1e-6
-                pre = (fused_encode_ctc(model, params, f, mask)
-                       if fused else None)
                 out = nat_decode_jit(model, params, f, mask,
                                      jax.random.fold_in(key, 500 + i),
-                                     umax=umax, pre_enc=pre)
+                                     umax=umax, use_megakernel=fused)
                 return acc + out["tokens"].sum() + out["lengths"].sum()
             return jax.lax.fori_loop(0, n_inner, body,
                                      jnp.zeros((), jnp.int32))

@@ -187,12 +187,19 @@ class BaseTask:
             train_ds.load_cmvn(args.global_cmvn)
             dev_ds.load_cmvn(args.global_cmvn)
         bs = 1 if ds_type == "DynamicDataset" else args.batch_size
+        # shape-bucket granularity: larger buckets -> more padding but
+        # fewer distinct XLA train-step compiles (each bucket shape is one
+        # compile; see CLAUDE.md on the remote compile service)
+        fb = getattr(args, "frame_bucket", 64)
+        lb = getattr(args, "label_bucket", 8)
         self.train_loader = SpeechDataLoader(
             train_ds, bs, padding_idx=args.padding_idx, shuffle=True,
-            shard=(self.rank, self.world), seed=getattr(args, "seed", 0))
+            shard=(self.rank, self.world), seed=getattr(args, "seed", 0),
+            frame_bucket=fb, label_bucket=lb)
         self.valid_loader = SpeechDataLoader(
             dev_ds, bs, padding_idx=args.padding_idx, shuffle=False,
-            shard=(self.rank, self.world), augment=False)
+            shard=(self.rank, self.world), augment=False,
+            frame_bucket=fb, label_bucket=lb)
 
     def set_test_dataloader(self, args):
         test_ds = SpeechDataset(self.vocab, args.test_paths, args)
@@ -201,7 +208,9 @@ class BaseTask:
             test_ds.load_cmvn(args.global_cmvn)
         self.test_loader = SpeechDataLoader(
             test_ds, getattr(args, "test_batch_size", 8),
-            padding_idx=args.padding_idx, shuffle=False, augment=False)
+            padding_idx=args.padding_idx, shuffle=False, augment=False,
+            frame_bucket=getattr(args, "frame_bucket", 64),
+            label_bucket=getattr(args, "label_bucket", 8))
 
     # ---- jitted train/eval steps ----
     def build_steps(self):

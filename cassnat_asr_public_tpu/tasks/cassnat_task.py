@@ -201,6 +201,9 @@ class CassNATTask(BaseTask):
         results = {}
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         lm_apply = getattr(self, "lm_apply", None)
+        # fused conformer-layer Pallas encoder (kernels/conformer_layer.py);
+        # conformer/relative encoders only, A/B'd in bench.py
+        use_mk = bool(getattr(args, "use_megakernel", False))
         hit_stats = None
         diffs = None
         t0 = time.time()
@@ -209,7 +212,8 @@ class CassNATTask(BaseTask):
             mask = jnp.asarray(batch["src_mask"])
             if decode_type == "ctc_only":
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
-                                            feats, mask)
+                                            feats, mask,
+                                            use_megakernel=use_mk)
             elif decode_type == "oracle_att":
                 # upper bound given perfect alignment
                 # (reference: cassnat.py:449-450)
@@ -218,7 +222,8 @@ class CassNATTask(BaseTask):
                     umax=batch["labels"].shape[1] - 1, sample_num=1,
                     align="oracle",
                     labels=jnp.asarray(batch["labels"][:, 1:-1]),
-                    label_sizes=jnp.asarray(batch["label_sizes"]))
+                    label_sizes=jnp.asarray(batch["label_sizes"]),
+                    use_megakernel=use_mk)
             elif decode_type == "ctc_att":
                 out = self._decode_ctc_beam_align(args, feats, mask,
                                                   sample_num, rng,
@@ -243,6 +248,7 @@ class CassNATTask(BaseTask):
                     esa_topk=getattr(args, "esa_topk", 0),
                     lm_apply_logits=getattr(self, "lm_apply_logits",
                                             False),
+                    use_megakernel=use_mk,
                     **self._decode_text_kwargs(feats, mask))
                 if getattr(args, "esa_two_phase", False) and sample_num > 1:
                     out = self._nat_decode_two_phase(args, feats, mask,
@@ -327,7 +333,8 @@ class CassNATTask(BaseTask):
         # two paths sample identical candidates (exactness is testable)
         p1 = esa_align_jit(self.model, self.state.params, feats, mask, rng,
                            sample_num=sample_num,
-                           threshold=getattr(args, "threshold", 0.9))
+                           threshold=getattr(args, "threshold", 0.9),
+                           use_megakernel=kw.get("use_megakernel", False))
         bs = feats.shape[0]
         kept, umax_b = select_unique_candidates(
             p1["ylen"], p1["h1"], p1["h2"], p1["path_score"], bs,

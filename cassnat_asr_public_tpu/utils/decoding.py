@@ -47,6 +47,19 @@ def _repeat_batch(x, n):
     return jnp.repeat(x, n, axis=0)
 
 
+def _encode_ctc(model, params, feats, src_mask, use_megakernel: bool):
+    """Encoder + CTC head, optionally through the fused conformer-layer
+    Pallas megakernel (kernels/conformer_layer.py). The fused path covers
+    conformer encoders with relative PE only; anything else falls back to
+    the XLA encoder."""
+    if use_megakernel and getattr(model, "use_conv_enc", False) \
+            and getattr(model, "pos_type", "") == "relative":
+        from cassnat_asr_public_tpu.kernels.conformer_layer import \
+            fused_encode_ctc
+        return fused_encode_ctc(model, params, feats, src_mask)
+    return model.apply(params, feats, src_mask, method="encode_ctc")
+
+
 def _row_hashes(rows, lens):
     """Two independent 32-bit universal hashes of integer rows + lengths.
 
@@ -87,7 +100,7 @@ def _group_dedup(h1, h2, bs, n_cand):
                                   "beam_width", "lm_weight", "align",
                                   "lm_model", "esa_topk",
                                   "lm_apply_logits", "dedup_align",
-                                  "dedup_rank"))
+                                  "dedup_rank", "use_megakernel"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -98,7 +111,8 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    ext_shift=None, ext_ylen=None, lm_model=None,
                    text_input=None, text_mask=None, esa_topk: int = 0,
                    lm_apply_logits: bool = False, dedup_align: int = 0,
-                   dedup_rank: int = 0, pre_enc=None):
+                   dedup_rank: int = 0, pre_enc=None,
+                   use_megakernel: bool = False):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -135,8 +149,8 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     """
     bs = feats.shape[0]
     if pre_enc is None:
-        enc_h, enc_mask, ctc_out = model.apply(
-            params, feats, src_mask, method="encode_ctc")
+        enc_h, enc_mask, ctc_out = _encode_ctc(model, params, feats,
+                                               src_mask, use_megakernel)
     else:
         # two-phase decoding: the driver already ran the encoder (via
         # esa_align_jit) and picked umax / candidate buckets from the
@@ -323,9 +337,10 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
     return {"tokens": tokens, "lengths": jnp.maximum(ylen - 1, 0), **stats}
 
 
-@partial(jax.jit, static_argnames=("model", "sample_num", "threshold"))
+@partial(jax.jit, static_argnames=("model", "sample_num", "threshold",
+                                   "use_megakernel"))
 def esa_align_jit(model, params, feats, src_mask, rng, sample_num: int,
-                  threshold: float = 0.9):
+                  threshold: float = 0.9, use_megakernel: bool = False):
     """Phase 1 of the two-phase ESA decode: encoder + CTC head + sampled
     alignments + per-candidate row hashes.
 
@@ -340,8 +355,8 @@ def esa_align_jit(model, params, feats, src_mask, rng, sample_num: int,
     (ymax = ylen.max().item(), cassnat.py:479); under XLA this bucketing
     is the static-shape equivalent.
     """
-    enc_h, enc_mask, ctc_out = model.apply(params, feats, src_mask,
-                                           method="encode_ctc")
+    enc_h, enc_mask, ctc_out = _encode_ctc(model, params, feats, src_mask,
+                                           use_megakernel)
     from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
     shift, ylen, psc = ctc_sampled_align(ctc_out, enc_mask, sample_num,
                                          threshold=threshold, rng=rng,
@@ -385,11 +400,12 @@ def select_unique_candidates(ylen, h1, h2, path_score, bs, sample_num,
     return kept, int(ylen.max()) + 2
 
 
-@partial(jax.jit, static_argnames=("model",))
-def ctc_greedy_decode_jit(model, params, feats, src_mask):
+@partial(jax.jit, static_argnames=("model", "use_megakernel"))
+def ctc_greedy_decode_jit(model, params, feats, src_mask,
+                          use_megakernel: bool = False):
     """Collapsed greedy CTC decode via the model's encoder."""
-    _, enc_mask, ctc_out = model.apply(params, feats, src_mask,
-                                       method="encode_ctc")
+    _, enc_mask, ctc_out = _encode_ctc(model, params, feats, src_mask,
+                                       use_megakernel)
     toks, lens = ctc_greedy_collapse(ctc_out, enc_mask)
     return {"tokens": toks, "lengths": lens}
 
