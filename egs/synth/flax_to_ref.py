@@ -222,7 +222,8 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
 
     model = ref_cassnat.make_model(cfg.input_size, ns).eval()
     state = ckpt.load_checkpoint(os.path.join(exp_dir, "best_model.ckpt"))
-    sd = cassnat_state_dict(state, cfg.N_enc, cfg.N_self_dec, cfg.N_mix_dec)
+    sd = cassnat_state_dict(state["params"], cfg.N_enc, cfg.N_self_dec,
+                            cfg.N_mix_dec)
     _load_sd(model, sd, "cassnat")
 
     lm_model = None
@@ -233,7 +234,8 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
         lm_model = ref_lm.make_model(lm_ns).eval()
         lm_state = ckpt.load_checkpoint(
             os.path.join(lm_exp, "best_model.ckpt"))
-        _load_sd(lm_model, lm_state_dict(lm_state, lm_layers), "lm")
+        _load_sd(lm_model, lm_state_dict(lm_state["params"], lm_layers),
+                 "lm")
 
     vocab = Vocab(os.path.join(data_dir, "dict", "vocab_char.txt"))
     mean, std = load_cmvn_stats(os.path.join(data_dir, "fbank", "cmvn.ark"))
@@ -248,7 +250,7 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
         B = 8
         for s in range(0, len(utts), B):
             chunk = utts[s:s + B]
-            feats = [((read_matrix(scp[u]) - mean) / std).astype(np.float32)
+            feats = [((read_matrix(*scp[u]) - mean) / std).astype(np.float32)
                      for u in chunk]
             tmax = max(f.shape[0] for f in feats)
             src = np.zeros((len(chunk), tmax, feats[0].shape[1]), np.float32)
