@@ -238,34 +238,52 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
                  "lm")
 
     vocab = Vocab(os.path.join(data_dir, "dict", "vocab_char.txt"))
-    mean, std = load_cmvn_stats(os.path.join(data_dir, "fbank", "cmvn.ark"))
-    scp = read_scp(os.path.join(data_dir, "fbank", "test", "feats.scp"))
+
+    # batch with the REPO's own test loader so the reference model sees
+    # byte-identical features and masks to the repo decode (stage 6)
+    from cassnat_asr_public_tpu.data.datasets import (SpeechDataset,
+                                                      SpeechDataLoader)
+    dcfg = merge_configs(None, f"{here}/conf/cassnat_train.yaml",
+                         f"{here}/conf/data.yaml")
+    for p in ("train_paths", "dev_paths", "test_paths"):
+        for d in getattr(dcfg, p):
+            for k in d:
+                if k != "name":
+                    d[k] = os.path.join(here, d[k])
+    test_ds = SpeechDataset(vocab, dcfg.test_paths, dcfg)
+    test_ds.load_cmvn(os.path.join(data_dir, "fbank", "cmvn.ark"))
+    loader = SpeechDataLoader(test_ds, 8, padding_idx=0, shuffle=False,
+                              augment=False,
+                              frame_bucket=getattr(dcfg, "frame_bucket", 64),
+                              label_bucket=getattr(dcfg, "label_bucket", 8))
 
     # reference align_to_mask hard-codes .cuda(); neutralize on CPU
     orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
     hyps = {}
     try:
-        utts = sorted(scp)
-        B = 8
-        for s in range(0, len(utts), B):
-            chunk = utts[s:s + B]
-            feats = [((read_matrix(*scp[u]) - mean) / std).astype(np.float32)
-                     for u in chunk]
-            tmax = max(f.shape[0] for f in feats)
-            src = np.zeros((len(chunk), tmax, feats[0].shape[1]), np.float32)
-            sizes = np.zeros((len(chunk),), np.float32)
-            for i, f in enumerate(feats):
-                src[i, :f.shape[0]] = f
-                sizes[i] = f.shape[0] / tmax
-            x_mask = (np.arange(tmax)[None, :]
-                      < (sizes * tmax)[:, None])[:, None, :]
+        for batch in loader:
+            chunk = batch["utts"]
+            src = np.asarray(batch["feats"], np.float32)
+            x_mask = np.asarray(batch["src_mask"], bool)[:, None, :]
+            sizes = (np.asarray(batch["feat_frames"], np.float32)
+                     / src.shape[1])
             with torch.no_grad():
                 seqs = model.beam_decode(
                     torch.tensor(src), torch.tensor(x_mask),
                     torch.tensor(sizes), vocab, ns, lm_model=lm_model)
+                if isinstance(seqs, tuple):
+                    seqs = seqs[0]
             for i, u in enumerate(chunk):
-                toks = [t for t in seqs[i][0]["hyp"] if t > 2]
+                # reference hyp handling: skip sos/pad, BREAK at first eos
+                # (reference: src/tasks/cassnat_task.py:344-353)
+                toks = []
+                for t in seqs[i][0]["hyp"]:
+                    if t in (0, 1):
+                        continue
+                    if t == 2:
+                        break
+                    toks.append(t)
                 hyps[u] = vocab.decode(toks)
     finally:
         torch.Tensor.cuda = orig_cuda

@@ -172,6 +172,10 @@ def _load_task(decode_overrides):
 
 DECODE_MODES = {
     "greedy_ctc": dict(decode_type="ctc_only"),
+    # deterministic NAT best-path: the direct counterpart of stage 8's
+    # reference_bestpath_1 (identical weights + batches -> identical WER)
+    "nat_bestpath_1": dict(decode_type="esa_att", sample_num=1,
+                           rank_model="none"),
     "esa_self_50": dict(decode_type="esa_att", sample_num=50, threshold=0.9,
                         rank_model="none"),
     "esa_lm_50": dict(decode_type="esa_att", sample_num=50, threshold=0.9,
@@ -201,7 +205,7 @@ def stage_decode():
         rep = wer(refs, hyps)
         rep["elapsed_s"] = round(time.time() - t0, 1)
         results[mode] = rep
-        print(f"[{mode}] WER {rep['wer']*100:.2f}% "
+        print(f"[{mode}] WER {rep['wer']:.2f}% "
               f"({rep['n_words']} words)", flush=True)
         del task
     with open(f"{HERE}/decode_results.json", "w") as f:
@@ -268,7 +272,7 @@ def stage_reference():
         hyps = reference_esa_decode(EXP, DATA, HERE, **kw)
         rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
         out[name] = rep
-        print(f"[{name}] WER {rep['wer']*100:.2f}%", flush=True)
+        print(f"[{name}] WER {rep['wer']:.2f}%", flush=True)
     with open(f"{HERE}/reference_results.json", "w") as f:
         json.dump(out, f, indent=1)
 
@@ -299,10 +303,10 @@ def stage_report():
         "|---|---|---|",
     ]
     for mode, rep in res.items():
-        lines.append(f"| {mode} | {rep['wer']*100:.2f} | "
+        lines.append(f"| {mode} | {rep['wer']:.2f} | "
                      f"{rep['n_words']} ref words |")
     for mode, rep in ref_res.items():
-        lines.append(f"| **{mode}** (torch) | {rep['wer']*100:.2f} | "
+        lines.append(f"| **{mode}** (torch) | {rep['wer']:.2f} | "
                      "same weights, same audio |")
     lines += [
         "",
