@@ -1,12 +1,15 @@
-"""Fused conformer encoder layer as ONE Pallas kernel (the "megakernel").
+"""Fused conformer encoder layer as two Pallas kernels (the "megakernel").
 
 Motivation (PARITY.md r2 roadmap / VERDICT r2 item 4): at decode shapes
 (B=32, T'=184, d=512) every encoder submodule measures ~0.5 ms standalone
-vs ~0.06 ms FLOP roofline — the layer is small-tensor/HBM-bound. This
-kernel keeps the residual stream and every intermediate in VMEM across
-ffn½ → rel-attention → conv-module → ffn½ (one grid step per batch row;
-weights are constant blocks fetched once per layer), so HBM traffic per
-layer drops to x-in + x-out + weights.
+vs ~0.06 ms FLOP roofline — the layer is small-tensor/HBM-bound. These
+kernels keep the residual stream and every intermediate in VMEM across
+ffn½ → rel-attention (half A) and conv-module → ffn½ (half B) — one grid
+step per batch row; weights are constant blocks fetched once per layer —
+so HBM traffic per layer drops to x-in + x-out + weights, plus one
+residual round-trip between the halves (a single full-layer kernel trips
+a Mosaic-internal "Invalid input layout" at production shapes; see
+conformer_layer_fused).
 
 Numerics mirror nn/blocks.ConEncoderLayer exactly (same sublayer
 pre-norms with Bessel-variance LayerNorm, compact clamped-table relative
@@ -46,82 +49,91 @@ def megakernel_enabled() -> bool:
 
 def _layernorm(x32, scale, bias):
     """LayerNorm with the reference numerics (Bessel std, eps outside):
-    scale * (x - mean) / (sqrt(var_bessel + 1e-12) + 1e-6) + bias."""
+    scale * (x - mean) / (sqrt(var_bessel + 1e-12) + 1e-6) + bias.
+
+    scale/bias may be (D,) or (1, D) — Mosaic prefers 2D operands, so
+    in-kernel callers pass (1, D) rows."""
     d = x32.shape[-1]
+    scale = scale.reshape(1, d)
+    bias = bias.reshape(1, d)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True) \
         * (d / max(d - 1, 1))
     std = jnp.sqrt(var + 1e-12)
-    return scale[None, :] * (x32 - mean) / (std + 1e-6) + bias[None, :]
+    return scale * (x32 - mean) / (std + 1e-6) + bias
 
 
-def _conformer_layer_kernel(
+def _mm(a32, w_ref, b, cdtype):
+    """bf16 matmul with f32 accumulation (+ optional (1, F) bias row), like
+    nn.Dense(dtype=bf16) followed by the XLA f32 upcast."""
+    out = jax.lax.dot_general(
+        a32.astype(cdtype), w_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32).reshape(1, -1)
+    return out
+
+
+def _layer_half_a_kernel(
         # per-batch-row blocks
         x_ref, mask_ref,
         # packed norms (10, D) f32: ff1 s/b, attn s/b, conv s/b, ff2 s/b,
         # groupnorm s/b
         norms_ref,
-        # ffn1 / ffn2
+        # ffn1
         w1a_ref, b1a_ref, w2a_ref, b2a_ref,
-        w1b_ref, b1b_ref, w2b_ref, b2b_ref,
         # attention
         wq_ref, wk_ref, wv_ref, wo_ref, battn_ref,  # battn (4, D): q/k/v/o
         p_ref, ubias_ref,                            # p (2R+1, D); u/v (2, D)
-        # conv module
-        pw1_ref, pw1b_ref, dw_ref, dwb_ref, pw2_ref, pw2b_ref,
         # output
         out_ref,
         *, n_head: int, r_eff: int):
     t, d = x_ref.shape[1], x_ref.shape[2]
     h = n_head
     dk = d // h
-    f = w1a_ref.shape[1]
     cdtype = x_ref.dtype
 
     def mm(a32, w_ref, b=None):
-        """bf16 matmul with f32 accumulation (+ optional bias), like
-        nn.Dense(dtype=bf16) followed by the XLA f32 upcast."""
-        out = jax.lax.dot_general(
-            a32.astype(cdtype), w_ref[:, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if b is not None:
-            out = out + b.astype(jnp.float32)[None, :]
-        return out
+        return _mm(a32, w_ref, b, cdtype)
 
     x = x_ref[0].astype(jnp.float32)                     # (T, D)
-    maskf = mask_ref[0].astype(jnp.float32)              # (T,)
+    maskf = mask_ref[0].astype(jnp.float32)              # (1, T)
 
     # ---- ff1 (scale 0.5) ----
-    hln = _layernorm(x, norms_ref[0], norms_ref[1])
-    hmid = mm(hln, w1a_ref, b1a_ref[0])
+    hln = _layernorm(x, norms_ref[0:1, :], norms_ref[1:2, :])
+    hmid = mm(hln, w1a_ref, b1a_ref[0:1, :])
     hmid = hmid * jax.nn.sigmoid(hmid)                   # swish
-    hout = mm(hmid.astype(jnp.float32), w2a_ref, b2a_ref[0])
+    hout = mm(hmid.astype(jnp.float32), w2a_ref, b2a_ref[0:1, :])
     x = x + 0.5 * hout
 
     # ---- relative-position self-attention ----
-    hln = _layernorm(x, norms_ref[2], norms_ref[3])
-    q = mm(hln, wq_ref, battn_ref[0])                    # (T, D)
-    k = mm(hln, wk_ref, battn_ref[1])
-    v = mm(hln, wv_ref, battn_ref[2])
-    u_bias = ubias_ref[0].astype(jnp.float32)            # (D,)
-    v_bias = ubias_ref[1].astype(jnp.float32)
+    hln = _layernorm(x, norms_ref[2:3, :], norms_ref[3:4, :])
+    q = mm(hln, wq_ref, battn_ref[0:1, :])               # (T, D)
+    k = mm(hln, wk_ref, battn_ref[1:2, :])
+    v = mm(hln, wv_ref, battn_ref[2:3, :])
+    u_bias = ubias_ref[0:1, :].astype(jnp.float32)       # (1, D)
+    v_bias = ubias_ref[1:2, :].astype(jnp.float32)
     inv_sqrt_dk = 1.0 / math.sqrt(dk)
     # relative-offset map, clipped: off[qi, ki] in [0, 2r_eff]
     qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     off = jnp.clip(ki - qi, -r_eff, r_eff) + r_eff
-    kmask = (maskf > 0.5)[None, :]                       # (1, T) key mask
+    kmask = maskf > 0.5                                  # (1, T) key mask
 
-    ctx = jnp.zeros((t, d), jnp.float32)
+    # add u/v biases at full width BEFORE the per-head lane slicing:
+    # adding two 64-lane-offset slices trips a Mosaic layout conflict
+    # ("Invalid input layout" on the add) while full-width adds are fine
+    qu_full = (q + u_bias).astype(cdtype)                # (T, D)
+    qv_full = (q + v_bias).astype(cdtype)
+    ctx_heads = []
     for hd in range(h):
         sl = slice(hd * dk, (hd + 1) * dk)
-        q_h = q[:, sl]
         k_h = k[:, sl]
         v_h = v[:, sl]
         p_h = p_ref[:, sl].astype(cdtype)                # (2R+1, dk)
-        qu = (q_h + u_bias[None, sl]).astype(cdtype)
-        qv = (q_h + v_bias[None, sl]).astype(cdtype)
+        qu = qu_full[:, sl]
+        qv = qv_full[:, sl]
         scores = jax.lax.dot_general(
             qu, k_h.astype(cdtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * inv_sqrt_dk   # (T, T)
@@ -130,7 +142,7 @@ def _conformer_layer_kernel(
             preferred_element_type=jnp.float32) * inv_sqrt_dk   # (T, 2R+1)
         # Toeplitz expansion: scores[qi, ki] += small[qi, off[qi, ki]]
         for o in range(2 * r_eff + 1):
-            scores = scores + jnp.where(off == o, small[:, o][:, None], 0.0)
+            scores = scores + jnp.where(off == o, small[:, o:o + 1], 0.0)
         scores = jnp.where(kmask, scores, MASK_MIN)
         smax = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - smax)
@@ -139,43 +151,58 @@ def _conformer_layer_kernel(
         ctx_h = jax.lax.dot_general(
             w.astype(cdtype), v_h.astype(cdtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ctx = jax.lax.dynamic_update_slice(ctx, ctx_h, (0, hd * dk))
-    x = x + mm(ctx, wo_ref, battn_ref[3])
+        ctx_heads.append(ctx_h)
+    ctx = jnp.concatenate(ctx_heads, axis=1)             # (T, D)
+    x = x + mm(ctx, wo_ref, battn_ref[3:4, :])
+
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def _layer_half_b_kernel(
+        x_ref, norms_ref,
+        # ffn2
+        w1b_ref, b1b_ref, w2b_ref, b2b_ref,
+        # conv module
+        pw1_ref, pw1b_ref, dw_ref, dwb_ref, pw2_ref, pw2b_ref,
+        out_ref):
+    t, d = x_ref.shape[1], x_ref.shape[2]
+    cdtype = x_ref.dtype
+
+    def mm(a32, w_ref, b=None):
+        return _mm(a32, w_ref, b, cdtype)
+
+    x = x_ref[0].astype(jnp.float32)                     # (T, D)
 
     # ---- conv module: pw1 -> GLU -> depthwise -> GroupNorm -> swish -> pw2
-    hln = _layernorm(x, norms_ref[4], norms_ref[5])
-    pw = mm(hln, pw1_ref, pw1b_ref[0])                   # (T, 2D)
+    hln = _layernorm(x, norms_ref[4:5, :], norms_ref[5:6, :])
+    pw = mm(hln, pw1_ref, pw1b_ref[0:1, :])              # (T, 2D)
     g = pw[:, :d] * jax.nn.sigmoid(pw[:, d:])            # GLU
     # SAME depthwise conv, kernel K: out[t] = sum_j g[t + j - K//2] * w[j]
     kk = dw_ref.shape[0]
     half = kk // 2
+    # zero-pad once, then accumulate static shifted slices: scatter-style
+    # .at[].add does not lower in Mosaic (gather/scatter is 2D-only)
+    zpad = jnp.zeros((half, d), jnp.float32)
+    gpad = jnp.concatenate([zpad, g, zpad], axis=0)       # (T + K - 1, D)
     acc = jnp.zeros((t, d), jnp.float32)
     for j in range(kk):
-        shift = j - half
-        wj = dw_ref[j].astype(jnp.float32)[None, :]
-        if shift == 0:
-            acc = acc + g * wj
-        elif shift > 0:
-            seg = g[shift:, :] * wj
-            acc = acc.at[:t - shift, :].add(seg)
-        else:
-            seg = g[:t + shift, :] * wj
-            acc = acc.at[-shift:, :].add(seg)
-    acc = acc + dwb_ref[0].astype(jnp.float32)[None, :]
+        wj = dw_ref[j:j + 1, :].astype(jnp.float32)
+        acc = acc + gpad[j:j + t, :] * wj
+    acc = acc + dwb_ref[0:1, :].astype(jnp.float32)
     # GroupNorm(1): flax numerics — (x-mean)*rsqrt(var+1e-5), stats over
     # the whole (T, C) block
     gmean = jnp.mean(acc)
     gvar = jnp.mean((acc - gmean) ** 2)
     gn = (acc - gmean) * jax.lax.rsqrt(gvar + 1e-5)
-    gn = gn * norms_ref[8][None, :] + norms_ref[9][None, :]
+    gn = gn * norms_ref[8:9, :] + norms_ref[9:10, :]
     gn = gn * jax.nn.sigmoid(gn)                         # swish
-    x = x + mm(gn, pw2_ref, pw2b_ref[0])
+    x = x + mm(gn, pw2_ref, pw2b_ref[0:1, :])
 
     # ---- ff2 (scale 0.5) ----
-    hln = _layernorm(x, norms_ref[6], norms_ref[7])
-    hmid = mm(hln, w1b_ref, b1b_ref[0])
+    hln = _layernorm(x, norms_ref[6:7, :], norms_ref[7:8, :])
+    hmid = mm(hln, w1b_ref, b1b_ref[0:1, :])
     hmid = hmid * jax.nn.sigmoid(hmid)
-    hout = mm(hmid.astype(jnp.float32), w2b_ref, b2b_ref[0])
+    hout = mm(hmid.astype(jnp.float32), w2b_ref, b2b_ref[0:1, :])
     x = x + 0.5 * hout
 
     out_ref[0] = x.astype(out_ref.dtype)
@@ -194,7 +221,15 @@ def _pack_norms(lp):
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
 def conformer_layer_fused(lp, x, maskf, pos_table, n_head: int = 8,
                           interpret: bool = False):
-    """Apply one fused conformer layer.
+    """Apply one fused conformer layer as TWO Pallas kernels.
+
+    Half A = ffn½ + relative-position attention, half B = conv-module +
+    ffn½. A single full-layer kernel trips a Mosaic-internal "Invalid
+    input layout" at production shapes even though every stage compiles
+    in isolation (all inputs/ops verified individually on v5e) — the
+    two-half split keeps ~all of the fusion win (intermediates stay in
+    VMEM within each half; the residual stream makes one extra HBM
+    round-trip between halves) while staying inside what Mosaic compiles.
 
     lp: the layer's param subtree (params['encoder']['layer{i}']);
     x: (B, T, D) compute-dtype activations; maskf: (B, T) float 1/0;
@@ -215,22 +250,53 @@ def conformer_layer_fused(lp, x, maskf, pos_table, n_head: int = 8,
     ubias = jnp.stack([att["pos_bias_u"].reshape(-1).astype(jnp.float32),
                        att["pos_bias_v"].reshape(-1).astype(jnp.float32)])
     cv = lp["conv"]
-    args = (
-        x, maskf.astype(jnp.float32),
-        _pack_norms(lp),
+    norms = _pack_norms(lp)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i, _nd=None: (0,) * a.ndim)
+
+    def row3_spec(shape):
+        return pl.BlockSpec((1,) + shape[1:], lambda i: (i, 0, 0))
+
+    cparams = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+    args_a = (
+        # mask as (B, 1, T): TPU block specs need the last two block dims
+        # divisible by (8, 128) or equal to the array dims — a (1, T) block
+        # over (B, T) is neither; (1, 1, T) over (B, 1, T) is.
+        x, maskf.astype(jnp.float32)[:, None, :],
+        norms,
         lp["ff1"]["Dense_0"]["kernel"].astype(cdtype),
         lp["ff1"]["Dense_0"]["bias"].astype(jnp.float32)[None],
         lp["ff1"]["Dense_1"]["kernel"].astype(cdtype),
         lp["ff1"]["Dense_1"]["bias"].astype(jnp.float32)[None],
-        lp["ff2"]["Dense_0"]["kernel"].astype(cdtype),
-        lp["ff2"]["Dense_0"]["bias"].astype(jnp.float32)[None],
-        lp["ff2"]["Dense_1"]["kernel"].astype(cdtype),
-        lp["ff2"]["Dense_1"]["bias"].astype(jnp.float32)[None],
         att["q"]["kernel"].astype(cdtype),
         att["k"]["kernel"].astype(cdtype),
         att["v"]["kernel"].astype(cdtype),
         att["out"]["kernel"].astype(cdtype),
         battn, p, ubias,
+    )
+    in_specs_a = [row3_spec(x.shape),
+                  pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0))]         + [const_spec(a) for a in args_a[2:]]
+    kern_a = functools.partial(_layer_half_a_kernel, n_head=n_head,
+                               r_eff=r_eff)
+    x = pl.pallas_call(
+        kern_a,
+        grid=(b,),
+        in_specs=in_specs_a,
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), cdtype),
+        interpret=interpret,
+        compiler_params=cparams,
+    )(*args_a)
+
+    args_b = (
+        x, norms,
+        lp["ff2"]["Dense_0"]["kernel"].astype(cdtype),
+        lp["ff2"]["Dense_0"]["bias"].astype(jnp.float32)[None],
+        lp["ff2"]["Dense_1"]["kernel"].astype(cdtype),
+        lp["ff2"]["Dense_1"]["bias"].astype(jnp.float32)[None],
         cv["pointwise1"]["kernel"][0].astype(cdtype),     # (D, 2D)
         cv["pointwise1"]["bias"].astype(jnp.float32)[None],
         cv["depthwise"]["kernel"][:, 0, :].astype(jnp.float32),  # (K, D)
@@ -238,25 +304,16 @@ def conformer_layer_fused(lp, x, maskf, pos_table, n_head: int = 8,
         cv["pointwise2"]["kernel"][0].astype(cdtype),
         cv["pointwise2"]["bias"].astype(jnp.float32)[None],
     )
-
-    def const_spec(a):
-        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
-
-    in_specs = [
-        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, t), lambda i: (i, 0)),
-    ] + [const_spec(a) for a in args[2:]]
-
-    kern = functools.partial(_conformer_layer_kernel, n_head=n_head,
-                             r_eff=r_eff)
+    in_specs_b = [row3_spec(x.shape)] + [const_spec(a) for a in args_b[1:]]
     return pl.pallas_call(
-        kern,
+        _layer_half_b_kernel,
         grid=(b,),
-        in_specs=in_specs,
+        in_specs=in_specs_b,
         out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d), cdtype),
         interpret=interpret,
-    )(*args)
+        compiler_params=cparams,
+    )(*args_b)
 
 
 def fused_encode_ctc(model, params, feats, src_mask, interpret: bool = False):
