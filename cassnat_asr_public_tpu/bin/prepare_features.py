@@ -41,9 +41,14 @@ def main(argv=None):
     entries = []
     with open(args.wav_scp) as f:
         for line in f:
-            parts = line.strip().split()
+            # Kaldi extended filenames: the rvalue is everything after the
+            # utt id (may be a multi-token "<cmd> |" pipe).
+            parts = line.strip().split(None, 1)
             if len(parts) >= 2:
-                entries.append((parts[0], parts[1]))
+                rvalue = parts[1]
+                if not rvalue.endswith("|"):
+                    rvalue = rvalue.split()[0]
+                entries.append((parts[0], rvalue))
 
     ark_path = os.path.join(args.out_dir, args.name + ".ark")
     scp_path = os.path.join(args.out_dir, args.name + ".scp")

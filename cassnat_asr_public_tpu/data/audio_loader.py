@@ -18,20 +18,46 @@ from cassnat_asr_public_tpu.data.datasets import round_up
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Returns (float32 waveform in [-1,1], sample_rate)."""
+    """Returns (float32 waveform in [-1,1], sample_rate).
+
+    Accepts: .wav (PCM16/32), .npy, .flac (native decoder — reference
+    shells out to the `flac` CLI instead, data_prep.sh:58), and Kaldi-style
+    pipe commands ("<cmd> |": the command's stdout is parsed as WAV or
+    FLAC, matching Kaldi extended-filename wav.scp semantics).
+    """
+    if path.rstrip().endswith("|"):
+        import subprocess
+        out = subprocess.run(path.rstrip().rstrip("|"), shell=True,
+                             check=True, stdout=subprocess.PIPE).stdout
+        if out[:4] == b"fLaC":
+            from cassnat_asr_public_tpu.data.flac import read_flac_bytes
+            return read_flac_bytes(out)
+        import io
+        with wave.open(io.BytesIO(out), "rb") as w:
+            return _parse_wave(w)
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32), 16000
+    if path.endswith(".flac"):
+        from cassnat_asr_public_tpu.data.flac import read_flac
+        return read_flac(path)
     with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        width = w.getsampwidth()
-        raw = w.readframes(n)
+        return _parse_wave(w)
+
+
+def _parse_wave(w) -> Tuple[np.ndarray, int]:
+    sr = w.getframerate()
+    n = w.getnframes()
+    width = w.getsampwidth()
+    nch = w.getnchannels()
+    raw = w.readframes(n)
     if width == 2:
         data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif width == 4:
         data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
     else:
         raise ValueError(f"unsupported sample width {width}")
+    if nch > 1:
+        data = data.reshape(-1, nch).mean(axis=1)
     return data, sr
 
 
@@ -57,11 +83,18 @@ class SingleWavSet:
         self.items = []
         with open(data_path["scp_path"]) as f:
             for line in f:
-                parts = line.strip().split()
-                if len(parts) < 2:
-                    continue
-                utt, path = parts[0], parts[1]
-                n_samples = int(parts[2]) if len(parts) > 2 else None
+                line = line.strip()
+                if line.endswith("|"):  # Kaldi pipe command rvalue
+                    parts = line.split(None, 1)
+                    if len(parts) < 2:
+                        continue
+                    utt, path, n_samples = parts[0], parts[1], None
+                else:
+                    parts = line.split()
+                    if len(parts) < 2:
+                        continue
+                    utt, path = parts[0], parts[1]
+                    n_samples = int(parts[2]) if len(parts) > 2 else None
                 if n_samples is not None and not (
                         filter_min <= n_samples <= filter_max):
                     continue

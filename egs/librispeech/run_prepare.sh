@@ -10,10 +10,22 @@ end_stage=3
 nbpe=5000
 bpemode=unigram   # unigram | bpe
 data=./data
+corpus=           # raw LibriSpeech root (…/LibriSpeech); enables stage 0
 
 . $E2EASR/utils/parse_options.sh 2>/dev/null || true
 
 set -euo pipefail
+
+if [ $stage -le 0 ] && [ -n "$corpus" ]; then
+  echo "Stage 0: LibriSpeech corpus -> data dirs (native FLAC decode)"
+  # (reference run_prepare.sh stage 1 / local/data_prep.sh; no external
+  # flac CLI needed — wav.scp points at .flac, decoded in-framework)
+  for part in dev-clean test-clean dev-other test-other train-clean-100; do
+    [ -d $corpus/$part ] || continue
+    python local/data_prep.py $corpus/$part \
+      $data/$(echo $part | sed s/-/_/g)
+  done
+fi
 
 if [ $stage -le 1 ] && [ $end_stage -ge 1 ]; then
   echo "Stage 1: fbank feature extraction (+ global CMVN on train)"
