@@ -328,6 +328,18 @@ def main():
                     "full-50 ESA+LM on the trained parity task, "
                     "WER_PARITY.md), 10%-low-confidence emission profile")
 
+        # ---- secondary: esa_topk=8 (on the trained parity task: WER
+        # 0.12% vs 0.00% full-50, 149/150 hyps identical — inside the
+        # 0.2-abs north-star bound but not output-identical, so reported
+        # as a faster opt-in rather than the primary)
+        note("[mid] timing ESA topk8 loop")
+        rtf8 = time_loop(make_esa_loop(esa_topk=8), cal["mid"], base_esa)
+        note(f"[mid] ESA topk8 rtf={rtf8:.2e}")
+        result.update({
+            "esa_topk8_mid_rtf": round(rtf8, 6),
+            "esa_topk8_mid_vs_baseline": round(BASELINE_RTF / rtf8, 2),
+        })
+
         # ---- two-phase ESA (the production driver path,
         # cassnat_task._nat_decode_two_phase): encoder+alignments, host
         # picks THIS batch's umax + unique-candidate buckets, NAT+rank on

@@ -282,7 +282,7 @@ def ctc_best_path_align(log_probs, frame_mask, blank=0, sample_num=0,
     if sample_num > 1:
         assert rng is not None
         low_conf = jnp.exp(jnp.max(log_probs, axis=-1)) < threshold  # (B, T)
-        top2 = jax.lax.top_k(log_probs, 2)[1]  # (B, T, 2)
+        top2 = _top2(log_probs)[1]  # (B, T, 2)
         select = jax.random.randint(rng, (bs, tmax), 0, 2)
         select = jnp.where(low_conf, select, 0)
         if include_best:
@@ -296,6 +296,26 @@ def ctc_best_path_align(log_probs, frame_mask, blank=0, sample_num=0,
     aligned_seq_shift = _collapse_and_shift(best_paths, blank)
     ylen = jnp.sum(aligned_seq_shift != blank, axis=1)
     return aligned_seq_shift.astype(jnp.int32), ylen
+
+
+def _top2(log_probs):
+    """Exact top-2 over the vocab via two max/argmax passes.
+
+    `lax.top_k(x, 2)` lowers to a full O(V log V) sort on TPU — ~20 ms of
+    the ESA iteration at (B=16, T'=184, V=5k)
+    (benchmarks/esa_topk_stage_bench.py); two reduction passes over the
+    same tensor are bandwidth-bound instead. Ties resolve to the lowest
+    index in both passes, matching top_k's stable order.
+    """
+    v = log_probs.shape[-1]
+    i1 = jnp.argmax(log_probs, axis=-1)
+    v1 = jnp.max(log_probs, axis=-1)
+    masked = jnp.where(jnp.arange(v) == i1[..., None],
+                       jnp.finfo(log_probs.dtype).min, log_probs)
+    i2 = jnp.argmax(masked, axis=-1)
+    v2 = jnp.max(masked, axis=-1)
+    return (jnp.stack([v1, v2], axis=-1),
+            jnp.stack([i1, i2], axis=-1).astype(jnp.int32))
 
 
 def ctc_sampled_align(log_probs, frame_mask, sample_num, threshold=0.9,
@@ -322,7 +342,7 @@ def ctc_sampled_align(log_probs, frame_mask, sample_num, threshold=0.9,
     """
     bs, tmax, _ = log_probs.shape
     n = bs * sample_num
-    top2v, top2i = jax.lax.top_k(log_probs, 2)        # (B, T, 2)
+    top2v, top2i = _top2(log_probs)                   # (B, T, 2)
     low_conf = jnp.exp(top2v[..., 0]) < threshold
     top2i_r = jnp.repeat(top2i, sample_num, axis=0)
     top2v_r = jnp.repeat(top2v, sample_num, axis=0)

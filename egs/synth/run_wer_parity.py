@@ -185,6 +185,10 @@ DECODE_MODES = {
                             esa_rank_dedup=8),
     "esa_lm_topk16": dict(decode_type="esa_att", sample_num=50,
                           threshold=0.9, rank_model="lm", esa_topk=16),
+    "esa_lm_topk8": dict(decode_type="esa_att", sample_num=50,
+                         threshold=0.9, rank_model="lm", esa_topk=8),
+    "esa_lm_topk4": dict(decode_type="esa_att", sample_num=50,
+                         threshold=0.9, rank_model="lm", esa_topk=4),
     "esa_lm_50_2phase": dict(decode_type="esa_att", sample_num=50,
                              threshold=0.9, rank_model="lm",
                              esa_two_phase=True, esa_rank_dedup=8),
@@ -193,8 +197,19 @@ DECODE_MODES = {
 
 def stage_decode():
     refs = {u: ws for u, ws in read_text(f"{DATA}/test/text").items()}
+    # CASSNAT_PARITY_MODES=a,b,c reruns a subset, merging into the
+    # existing decode_results.json (full run when unset)
+    only = os.environ.get("CASSNAT_PARITY_MODES")
+    only = set(only.split(",")) if only else None
     results = {}
+    if only and os.path.exists(f"{HERE}/decode_results.json"):
+        with open(f"{HERE}/decode_results.json") as f:
+            results = json.load(f)
+    hyp_dir = f"{HERE}/decode_hyps"
+    os.makedirs(hyp_dir, exist_ok=True)
     for mode, over in DECODE_MODES.items():
+        if only and mode not in only:
+            continue
         if over.get("rank_model") == "lm":
             over = dict(over, lm_config=f"{HERE}/conf/lm.yaml",
                         rnnlm=os.path.join(LM_EXP, "best_model.ckpt"))
@@ -202,6 +217,9 @@ def stage_decode():
         t0 = time.time()
         hyps_raw, elapsed = task.decode(cfg)
         hyps = {u: pieces_to_words(p) for u, p in hyps_raw.items()}
+        with open(f"{hyp_dir}/{mode}.json", "w") as f:
+            json.dump({u: " ".join(w) for u, w in sorted(hyps.items())}, f,
+                      indent=0)
         rep = wer(refs, hyps)
         rep["elapsed_s"] = round(time.time() - t0, 1)
         results[mode] = rep
@@ -217,6 +235,22 @@ def stage_decode():
     assert abs(results["esa_lm_50"]["wer"]
                - results["esa_lm_50_2phase"]["wer"]) < 1e-9, \
         "two-phase decode changed the ESA WER"
+    # topk preselection: report hypothesis agreement vs the full-50 decode
+    full = f"{hyp_dir}/esa_lm_50.json"
+    if os.path.exists(full):
+        with open(full) as f:
+            base_h = json.load(f)
+        for mode in DECODE_MODES:
+            if not mode.startswith("esa_lm_topk"):
+                continue
+            fp = f"{hyp_dir}/{mode}.json"
+            if not os.path.exists(fp):
+                continue
+            with open(fp) as f:
+                h = json.load(f)
+            same = sum(1 for u in base_h if h.get(u) == base_h[u])
+            print(f"[{mode}] hyp identity vs esa_lm_50: "
+                  f"{same}/{len(base_h)} utts", flush=True)
 
 
 def stage_stats():
