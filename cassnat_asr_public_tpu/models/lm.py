@@ -172,7 +172,11 @@ class TransformerLM(nn.Module):
         mask = (tokens != self.padding_idx)[:, None, None, :]
         if causal:
             mask = mask & jnp.tril(jnp.ones((t, t), bool))[None, None]
-        x = self.pos(self.embed(tokens), deterministic=deterministic)
+        # keep the residual stream in compute_dtype (norm statistics are
+        # f32 inside LayerNorm either way); an f32 stream doubles the HBM
+        # traffic of every residual add / norm across 16 layers
+        x = self.pos(self.embed(tokens).astype(self.compute_dtype),
+                     deterministic=deterministic)
         for layer in self.layers:
             x = layer(x, mask, deterministic)
         return self.norm(x)
@@ -205,9 +209,10 @@ class TransformerLM(nn.Module):
         token: (B,) current input token; cache: pytree from init_cache;
         pos: scalar write index. Returns ((B, V) log-probs, new cache).
         """
-        x = self.embed(token[:, None])
+        x = self.embed(token[:, None]).astype(self.compute_dtype)
         pe = jnp.asarray(sinusoidal_position_encoding(5000, self.d_model))
-        x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=0)[None]
+        x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=0)[None] \
+            .astype(self.compute_dtype)
         new_cache = {}
         for i, layer in enumerate(self.layers):
             ck, cv = cache[f"layer{i}"]
@@ -224,9 +229,9 @@ class TransformerLM(nn.Module):
         the frame-synchronous CTC beam needs, since its hypotheses have
         ragged lengths (reference: src/utils/beam_decode.py:31-55 queries
         the LM per frame on ragged prefixes)."""
-        x = self.embed(token[:, None])
+        x = self.embed(token[:, None]).astype(self.compute_dtype)
         pe = jnp.asarray(sinusoidal_position_encoding(5000, self.d_model))
-        x = x + pe[pos][:, None, :]
+        x = x + pe[pos][:, None, :].astype(self.compute_dtype)
         new_cache = {}
         for i, layer in enumerate(self.layers):
             ck, cv = cache[f"layer{i}"]
