@@ -102,3 +102,60 @@ def test_prefix_psi_full_sequence_consistency(rng):
     ref = float(ctc_forward_score(
         x, jnp.asarray([labels]), jnp.asarray([tmax]), jnp.asarray([3]))[0])
     np.testing.assert_allclose(total, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_prefix_step_associative_matches_sequential(rng):
+    """The O(log T) associative-scan formulation == the textbook sequential
+    recurrence, at realistic T with masked pad frames and repeated labels."""
+    n, tmax, vocab, w = 4, 200, 12, 6
+    logits = rng.normal(size=(n, tmax, vocab)).astype(np.float32) * 2.0
+    x = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    lengths = np.array([200, 157, 93, 10])
+    frame_mask = jnp.asarray(np.arange(tmax)[None, :] < lengths[:, None])
+    xm = mask_ctc_out(x, frame_mask)
+
+    cs = jnp.asarray(rng.integers(3, vocab, size=(n, w)))
+    cs = cs.at[:, 0].set(5)  # force a same-as-last candidate
+    y_last = jnp.asarray([5, 5, 1, 1])
+    r_prev = initial_state(xm)
+    # advance one real step so r_prev is a non-trivial state
+    _, r1 = prefix_score_step(xm, cs, y_last, r_prev,
+                              jnp.asarray([False, False, True, True]))
+    r_prev = r1[:, 1]
+    y_last = cs[:, 1]
+
+    psi, r_new = prefix_score_step(xm, cs, y_last, r_prev,
+                                   jnp.asarray([False] * n))
+
+    # sequential oracle (the pre-associative formulation)
+    xs = np.asarray(jnp.take_along_axis(
+        xm.astype(jnp.float32), cs[:, None, :], axis=2))
+    xb = np.asarray(xm[:, :, 0], np.float32)
+    r_sum = np.logaddexp(np.asarray(r_prev)[:, :, 0],
+                         np.asarray(r_prev)[:, :, 1])
+    same = np.asarray(cs == y_last[:, None])
+    phi = np.where(same[:, None, :], np.asarray(r_prev)[:, :, 1:2],
+                   r_sum[:, :, None])
+    phi_shift = np.concatenate(
+        [np.full((n, 1, w), LOG_ZERO), phi[:, :-1]], axis=1)
+    rn = np.full((n, w), LOG_ZERO)
+    rb = np.full((n, w), LOG_ZERO)
+    psi_seq = np.full((n, w), LOG_ZERO)
+    rn_seq = np.zeros((n, tmax, w))
+    rb_seq = np.zeros((n, tmax, w))
+    for t in range(tmax):
+        rn_new = np.logaddexp(rn, phi_shift[:, t]) + xs[:, t]
+        rb_new = np.logaddexp(rb, rn) + xb[:, t:t + 1]
+        psi_seq = np.logaddexp(psi_seq, phi_shift[:, t] + xs[:, t])
+        rn, rb = rn_new, rb_new
+        rn_seq[:, t], rb_seq[:, t] = rn, rb
+
+    got_rn = np.asarray(r_new)[..., 0]  # (N, W, T)
+    got_rb = np.asarray(r_new)[..., 1]
+    np.testing.assert_allclose(got_rn, np.moveaxis(rn_seq, 1, 2),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(got_rb, np.moveaxis(rb_seq, 1, 2),
+                               rtol=1e-4, atol=1e-3)
+    keep = ~np.asarray((cs == 2) | (cs == 0))
+    np.testing.assert_allclose(np.asarray(psi)[keep], psi_seq[keep],
+                               rtol=1e-4, atol=1e-3)
