@@ -182,6 +182,8 @@ def main():
     # sample_num=50 thr 0.9 + 16L transformer-LM ranking
     # (reference: conf/cassnat_decode.yaml + lm.yaml, cassnat.py:441-573)
     esa_batch, sample_num, esa_inner = (2, 8, 1) if smoke else (16, 50, 3)
+    esa_batch = int(os.environ.get("CASSNAT_BENCH_ESA_BATCH", str(esa_batch)))
+    esa_batch = min(esa_batch, batch)
     lm = TransformerLM(args.vocab_size, n_layers=2 if smoke else 16,
                        d_model=args.d_model, d_ff=args.d_ff, n_head=8,
                        dropout=0.0, compute_dtype=jnp.bfloat16)

@@ -16,6 +16,7 @@ from cassnat_asr_public_tpu.nn.modules import (
     Generator,
     PositionalEncoding,
     TextEmbedding,
+    swish,
 )
 
 
@@ -27,6 +28,7 @@ class Conformer(Transformer):
     (reference: src/models/conformer.py:18-64).
     """
     d_encff: int = 1024
+    d_decff: int = 1024
     kernel_size: int = 31
     pos_type: str = "relative"
     max_relative_len: int = 20
@@ -46,9 +48,13 @@ class Conformer(Transformer):
                                        name="tgt_embed")
         self.tgt_pos = PositionalEncoding(self.d_model, self.dropout,
                                           name="tgt_pos")
+        # reference conformer.py:32 builds the (transformer) decoder FFN with
+        # Swish at width d_decff, unlike the plain-transformer decoder's
+        # relu at d_ff
         self.decoder = TrfDecoder(
-            self.d_model, self.n_head, self.d_ff, self.n_dec, self.dropout,
-            compute_dtype=self.compute_dtype, remat=self.remat, name="decoder")
+            self.d_model, self.n_head, self.d_decff, self.n_dec, self.dropout,
+            compute_dtype=self.compute_dtype, remat=self.remat,
+            activation=swish, name="decoder")
         self.ctc_generator = Generator(self.vocab_size,
                                        compute_dtype=self.compute_dtype,
                                        name="ctc_generator")
@@ -79,6 +85,7 @@ def make_model(input_size: int, args) -> Conformer:
         d_model=args.d_model,
         d_ff=args.d_ff,
         d_encff=getattr(args, "d_encff", 1024),
+        d_decff=getattr(args, "d_decff", args.d_ff),
         kernel_size=getattr(args, "enc_kernel_size", 31),
         pos_type=getattr(args, "pos_type", "relative"),
         max_relative_len=getattr(args, "enc_max_relative_len", 20),

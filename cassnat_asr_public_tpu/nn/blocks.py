@@ -14,7 +14,7 @@ Differences from the reference by design:
 """
 
 import math
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +197,7 @@ class TrfDecoderLayer(nn.Module):
     d_ff: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    activation: Callable = nn.relu
 
     def setup(self):
         self.self_attn = MultiHeadedAttention(self.n_head, self.d_model,
@@ -209,6 +210,7 @@ class TrfDecoderLayer(nn.Module):
                                              name="src_attn")
         self.ff = PositionwiseFeedForward(self.d_model, self.d_ff,
                                           self.dropout,
+                                          activation=self.activation,
                                           compute_dtype=self.compute_dtype,
                                           name="ff")
         self.norm0 = LayerNorm(name="norm0")
@@ -268,6 +270,7 @@ class TrfDecoder(nn.Module):
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    activation: Callable = nn.relu
 
     def setup(self):
         layer_cls = TrfDecoderLayer
@@ -275,6 +278,7 @@ class TrfDecoder(nn.Module):
             layer_cls = nn.remat(TrfDecoderLayer, static_argnums=(4,))
         self.layers = [layer_cls(self.d_model, self.n_head, self.d_ff,
                                  self.dropout, self.compute_dtype,
+                                 activation=self.activation,
                                  name=f"layer{i}")
                        for i in range(self.n_layers)]
         self.norm = LayerNorm(name="norm")

@@ -38,8 +38,10 @@ def _import_ref():
     sys.modules["utils"] = upkg
     sys.path.insert(0, REF)
     import models.cassnat as ref_cassnat
+    import models.conformer as ref_conformer
     import models.lm as ref_lm
-    return ref_cassnat, ref_lm
+    return types.SimpleNamespace(cassnat=ref_cassnat,
+                                 conformer=ref_conformer, lm=ref_lm)
 
 
 # ---- flax -> torch state_dict builders (inverse of test_torch_parity) ----
@@ -155,6 +157,32 @@ def cassnat_state_dict(params, n_enc, n_sad, n_mad):
     return sd
 
 
+def ast_state_dict(params, n_enc, n_dec):
+    """Our AST-Conformer -> reference models/conformer.py (conformer encoder
+    + transformer decoder with Swish FFN; reference conformer.py:18-46)."""
+    p = params["params"]
+    sd = {}
+    _put_conv_embed(sd, p["src_embed"], "src_embed", rel=True)
+    for i in range(n_enc):
+        _put_con_layer(sd, f"encoder.layers.{i}", p["encoder"][f"layer{i}"])
+    _put_norm(sd, "encoder.norm", p["encoder"]["norm"])
+    sd["tgt_embed.0.lut.weight"] = np.asarray(
+        p["tgt_embed"]["Embed_0"]["embedding"], np.float32)
+    for i in range(n_dec):
+        lp = p["decoder"][f"layer{i}"]
+        pre = f"decoder.layers.{i}"
+        _put_mha(sd, f"{pre}.self_attn", lp["self_attn"])
+        _put_mha(sd, f"{pre}.src_attn", lp["src_attn"])
+        _put_ff(sd, f"{pre}.feed_forward", lp["ff"])
+        _put_norm(sd, f"{pre}.sublayer.0.norm", lp["norm0"])
+        _put_norm(sd, f"{pre}.sublayer.1.norm", lp["norm1"])
+        _put_norm(sd, f"{pre}.sublayer.2.norm", lp["norm2"])
+    _put_norm(sd, "decoder.norm", p["decoder"]["norm"])
+    _put_generator(sd, "ctc_generator", p["ctc_generator"])
+    _put_generator(sd, "att_generator", p["att_generator"])
+    return sd
+
+
 def lm_state_dict(params, n_layers):
     """Our TransformerLM -> reference models/lm.py TransformerLM."""
     p = params["params"]
@@ -200,7 +228,8 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
     from cassnat_asr_public_tpu.data.kaldi_io import (load_cmvn_stats,
                                                       read_matrix, read_scp)
 
-    ref_cassnat, ref_lm = _import_ref()
+    ref_mods = _import_ref()
+    ref_cassnat, ref_lm = ref_mods.cassnat, ref_mods.lm
     cfg = merge_configs(None, f"{here}/conf/cassnat_train.yaml")
     ns = types.SimpleNamespace(**{k: getattr(cfg, k) for k in vars(cfg)})
     ns.dropout = 0.0
@@ -287,4 +316,87 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
                 hyps[u] = vocab.decode(toks)
     finally:
         torch.Tensor.cuda = orig_cuda
+    return hyps
+
+
+def reference_ar_decode(exp_dir, data_dir, here, lm_weight=0.0,
+                        beam_width=10, ctc_beam=15, ctc_weight=0.4,
+                        length_penalty=0.0, lm_exp=None, lm_layers=2):
+    """Decode the synth test set with the REFERENCE AST-Conformer
+    beam_decode (joint CTC-prefix scoring + optional LM shallow fusion;
+    reference src/models/transformer.py:122-241) on transplanted trained
+    weights, over byte-identical batches from the repo's own loader."""
+    import torch
+    from cassnat_asr_public_tpu.utils import checkpoint as ckpt
+    from cassnat_asr_public_tpu.utils.config import merge_configs
+    from cassnat_asr_public_tpu.data.vocab import Vocab
+
+    ref_mods = _import_ref()
+    cfg = merge_configs(None, f"{here}/conf/ast_train.yaml")
+    ns = types.SimpleNamespace(**{k: getattr(cfg, k) for k in vars(cfg)})
+    ns.dropout = 0.0
+    ns.use_gpu = False
+    ns.beam_width = beam_width
+    ns.ctc_beam = ctc_beam
+    ns.ctc_weight = ctc_weight
+    ns.lm_weight = lm_weight
+    ns.length_penalty = length_penalty
+    ns.max_decode_ratio = 0
+    ns.T = 1.0
+
+    model = ref_mods.conformer.make_model(cfg.input_size, ns).eval()
+    state = ckpt.load_checkpoint(os.path.join(exp_dir, "best_model.ckpt"))
+    sd = ast_state_dict(state["params"], cfg.N_enc, cfg.N_dec)
+    _load_sd(model, sd, "ast")
+
+    lm_model = None
+    if lm_weight > 0:
+        lm_ns = types.SimpleNamespace(
+            vocab_size=cfg.vocab_size, N=lm_layers, d_model=128, d_ff=512,
+            n_head=4, dropout=0.0)
+        lm_model = ref_mods.lm.make_model(lm_ns).eval()
+        lm_state = ckpt.load_checkpoint(
+            os.path.join(lm_exp, "best_model.ckpt"))
+        _load_sd(lm_model, lm_state_dict(lm_state["params"], lm_layers),
+                 "lm")
+
+    vocab = Vocab(os.path.join(data_dir, "dict", "vocab_char.txt"))
+
+    from cassnat_asr_public_tpu.data.datasets import (SpeechDataset,
+                                                      SpeechDataLoader)
+    dcfg = merge_configs(None, f"{here}/conf/ast_train.yaml",
+                         f"{here}/conf/data.yaml")
+    for p in ("train_paths", "dev_paths", "test_paths"):
+        for d in getattr(dcfg, p):
+            for k in d:
+                if k != "name":
+                    d[k] = os.path.join(here, d[k])
+    test_ds = SpeechDataset(vocab, dcfg.test_paths, dcfg)
+    test_ds.load_cmvn(os.path.join(data_dir, "fbank", "cmvn.ark"))
+    loader = SpeechDataLoader(test_ds, 8, padding_idx=0, shuffle=False,
+                              augment=False,
+                              frame_bucket=getattr(dcfg, "frame_bucket", 64),
+                              label_bucket=getattr(dcfg, "label_bucket", 8))
+
+    hyps = {}
+    for batch in loader:
+        chunk = batch["utts"]
+        src = np.asarray(batch["feats"], np.float32)
+        x_mask = np.asarray(batch["src_mask"], bool)[:, None, :]
+        with torch.no_grad():
+            seqs = model.beam_decode(torch.tensor(src),
+                                     torch.tensor(x_mask), vocab, ns,
+                                     lm_model=lm_model)
+        for i, u in enumerate(chunk):
+            # reference hyp handling (src/tasks/art_task.py:261-269):
+            # skip sos/pad, BREAK at first eos
+            toks = []
+            for t in seqs[i][0]["hyp"]:
+                t = int(t)
+                if t in (0, 1):
+                    continue
+                if t == 2:
+                    break
+                toks.append(t)
+            hyps[u] = vocab.decode(toks)
     return hyps

@@ -342,6 +342,32 @@ def stage_report():
     for mode, rep in ref_res.items():
         lines.append(f"| **{mode}** (torch) | {rep['wer']:.2f} | "
                      "same weights, same audio |")
+    # AR (AST) arm, produced by run_ar_parity.py on its own trained
+    # AST-Conformer — merged here so WER_PARITY.md stays single-source
+    try:
+        ar_res = json.load(open(f"{HERE}/ar_results.json"))
+        ar_ref = json.load(open(f"{HERE}/ar_reference_results.json"))
+    except FileNotFoundError:
+        ar_res, ar_ref = {}, {}
+    if ar_res:
+        lines += [
+            "",
+            "## AR (AST-Conformer) WER — run_ar_parity.py",
+            "",
+            "Separate AST-Conformer trained on the same corpus; the AR beam",
+            "(joint CTC-prefix + LM shallow fusion) is the decode the",
+            "reference's 0.562 RTF headline uses "
+            "(reference transformer.py:122-241).",
+            "",
+            "| decode | WER % | notes |",
+            "|---|---|---|",
+        ]
+        for mode, rep in ar_res.items():
+            lines.append(f"| {mode} | {rep['wer']:.2f} | "
+                         f"{rep['n_words']} ref words |")
+        for mode, rep in ar_ref.items():
+            lines.append(f"| **{mode}** (torch) | {rep['wer']:.2f} | "
+                         "same weights, same audio |")
     lines += [
         "",
         "`esa_lm_50_dedup` is asserted equal to `esa_lm_50` (exact dedup).",

@@ -55,8 +55,10 @@ def ref_modules():
     sys.modules["utils"] = upkg
     try:
         import models.transformer as ref_transformer
+        import models.conformer as ref_conformer
         import models.cassnat as ref_cassnat
         yield types.SimpleNamespace(transformer=ref_transformer,
+                                    conformer=ref_conformer,
                                     cassnat=ref_cassnat)
     finally:
         sys.path[:] = saved_path
@@ -258,6 +260,85 @@ def test_ast_transformer_logit_parity(ref_modules):
     np.testing.assert_allclose(np.asarray(out["ctc_out"]), _t2n(r_ctc),
                                rtol=1e-4, atol=1e-4)
     # reference att_out includes rows for padded positions too; ours likewise
+    np.testing.assert_allclose(np.asarray(out["att_out"]), _t2n(r_att),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(out["ctc_loss"]), float(r_ctc_loss),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(out["att_loss"]), float(r_att_loss),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# AST conformer
+# ---------------------------------------------------------------------------
+
+
+def test_ast_conformer_logit_parity(ref_modules):
+    """Conformer encoder (rel pos) + transformer decoder whose FFN the
+    reference builds with Swish at width d_decff (conformer.py:32) —
+    d_decff deliberately != d_ff here to pin the width plumbing."""
+    torch.manual_seed(0)
+    B, T, F, U, V = 3, 33, 25, 9, 40
+    cfg = dict(n_head=4, d_model=32, d_ff=64, d_encff=48, d_decff=56,
+               dropout=0.0, vocab_size=V, N_enc=2, N_dec=2, ctc_alpha=1.0,
+               interctc_alpha=0.0, interctc_layer=0, label_smooth=0.0,
+               padding_idx=0, pos_type="relative", enc_kernel_size=7,
+               enc_max_relative_len=8, share_ff=False)
+    ref = ref_modules.conformer.make_model(F, _args_ns(**cfg)).eval()
+    sd = ref.state_dict()
+
+    from cassnat_asr_public_tpu.models.conformer import Conformer
+    model = Conformer(input_size=F, vocab_size=V, n_enc=2, n_dec=2,
+                      d_model=32, d_ff=64, d_encff=48, d_decff=56,
+                      kernel_size=7, max_relative_len=8, n_head=4,
+                      dropout=0.0, ctc_alpha=1.0, label_smooth=0.0)
+
+    params = {"params": {
+        "src_embed": _conv_embed(sd, rel=True),
+        "encoder": {**{f"layer{i}": _con_layer(sd, f"encoder.layers.{i}")
+                       for i in range(2)},
+                    "norm": _norm(sd, "encoder.norm")},
+        "tgt_embed": {"Embed_0": {
+            "embedding": _t2n(sd["tgt_embed.0.lut.weight"])}},
+        "decoder": {**{f"layer{i}": _trf_dec_layer(sd, f"decoder.layers.{i}")
+                       for i in range(2)},
+                    "norm": _norm(sd, "decoder.norm")},
+        "ctc_generator": _generator(sd, "ctc_generator"),
+        "att_generator": _generator(sd, "att_generator"),
+    }}
+
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(B, T, F)).astype(np.float32)
+    lengths = np.array([T, T - 5, T - 9])
+    src_mask = (np.arange(T)[None, :] < lengths[:, None])
+    label_sizes = np.array([U - 2, U - 3, U - 4])
+    tgt = np.zeros((B, U), np.int64)
+    tgt_label = np.zeros((B, U), np.int64)
+    for b in range(B):
+        n = label_sizes[b]
+        toks = rng.integers(3, V, size=n)
+        tgt[b, 0] = 1
+        tgt[b, 1:1 + n] = toks
+        tgt_label[b, :n] = toks
+        tgt_label[b, n] = 2
+
+    t_src = torch.tensor(src)
+    t_src_mask = torch.tensor(src_mask[:, None, :])
+    t_tgt = torch.tensor(tgt)
+    causal = np.tril(np.ones((U, U), bool))
+    t_tgt_mask = torch.tensor((tgt != 0)[:, None, :] & causal[None])
+    feat_frac = torch.tensor(lengths / T)
+    with torch.no_grad():
+        r_ctc, r_att, r_loss, r_att_loss, r_ctc_loss, _ = ref(
+            t_src, t_tgt, t_src_mask, t_tgt_mask, feat_frac,
+            torch.tensor(label_sizes), torch.tensor(tgt_label))
+
+    out = model.apply(params, jnp.asarray(src), jnp.asarray(src_mask),
+                      jnp.asarray(tgt), jnp.asarray(tgt_label),
+                      jnp.asarray(label_sizes), deterministic=True)
+
+    np.testing.assert_allclose(np.asarray(out["ctc_out"]), _t2n(r_ctc),
+                               rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["att_out"]), _t2n(r_att),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(out["ctc_loss"]), float(r_ctc_loss),
