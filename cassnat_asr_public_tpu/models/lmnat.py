@@ -61,6 +61,10 @@ class _LMNATBase(CassNAT):
     mix_type: str = "none"          # "none" | "utterance" | "token"
     mix_gt_prob: float = 0.5
     text_encoder_sample_greedy: bool = False
+    audio_first: bool = True    # cross-attention order in Mix3 (lmnat.py:52,58)
+    # decode: text input per ESA candidate (True) or once per utterance from
+    # its first candidate, tiled (False) (reference: lmnat2.py:485-516)
+    use_esa_for_text_encoder: bool = True
 
     def _make_text_encoder(self):
         tv = self.text_vocab_size or self.vocab_size
@@ -97,7 +101,8 @@ class _LMNATBase(CassNAT):
         return self.dim_map(feats)
 
     def _device_text_input(self, ctc_out, enc_mask, tgt_label,
-                           aligned_seq_shift, deterministic):
+                           aligned_seq_shift, deterministic,
+                           mix_gt_prob=None):
         """CTC greedy hypothesis as text-encoder input (+ GT mixing, + sos).
 
         (reference: lmnat.py:214-236 + mix_text_encoder_input:280-290)
@@ -115,7 +120,8 @@ class _LMNATBase(CassNAT):
                 r = jax.random.uniform(rng, (bs, 1))
             else:
                 r = jax.random.uniform(rng, (bs, sl))
-            use_gt = r < self.mix_gt_prob
+            prob = self.mix_gt_prob if mix_gt_prob is None else mix_gt_prob
+            use_gt = r < prob
             hyp = jnp.where(use_gt, tgt_label[:, :sl], hyp)
         sos = jnp.ones((hyp.shape[0], 1), hyp.dtype)
         text_input = jnp.concatenate([sos, hyp[:, :-1]], axis=1)
@@ -210,10 +216,12 @@ class LMNAT(_LMNATBase):
         self.dim_map = nn.Dense(self.d_model, name="dim_map")
         self.mad3 = Mix3AttDecoder(
             self.d_model, self.n_head, self.d_decff, self.n_mix_dec,
-            self.dropout, compute_dtype=self.compute_dtype, name="mad3")
+            self.dropout, compute_dtype=self.compute_dtype,
+            audio_first=self.audio_first, name="mad3")
 
     def __call__(self, src, src_mask, tgt_label, label_sizes,
                  sample_topk: int = 0, text_input=None, text_mask=None,
+                 mix_gt_prob=None,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         (enc_h, enc_mask, _, ctc_out, shift, trig, ylen, umax_plus1,
          feat_sizes, ylabels) = self._encode_and_align(
@@ -235,7 +243,8 @@ class LMNAT(_LMNATBase):
 
         if text_input is None:
             text_input, text_mask = self._device_text_input(
-                ctc_out, enc_mask, tgt_label, shift, deterministic)
+                ctc_out, enc_mask, tgt_label, shift, deterministic,
+                mix_gt_prob=mix_gt_prob)
         text_embed = self._text_features(text_input, text_mask,
                                          deterministic)
 
@@ -251,7 +260,7 @@ class LMNAT(_LMNATBase):
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
                    umax_plus1: int, text_input=None, text_mask=None,
-                   return_logits: bool = False):
+                   text_stride: int = 1, return_logits: bool = False):
         """Text-fused NAT decode from a precomputed alignment.
 
         (reference: lmnat.py:415-637 beam_decode — CTC alignment -> text
@@ -268,8 +277,14 @@ class LMNAT(_LMNATBase):
             ac = self.acembed_extractor(queries, enc_h, trig)
             pred, _ = self.embed_mapper(ac, tgt_mask_b1u)
         if text_input is None:
-            text_input, text_mask = self._device_text_from_alignment(
-                aligned_seq_shift, umax_plus1)
+            if text_stride > 1 and not self.use_esa_for_text_encoder:
+                ti0, tm0 = self._device_text_from_alignment(
+                    aligned_seq_shift[::text_stride], umax_plus1)
+                text_input = jnp.repeat(ti0, text_stride, axis=0)
+                text_mask = jnp.repeat(tm0, text_stride, axis=0)
+            else:
+                text_input, text_mask = self._device_text_from_alignment(
+                    aligned_seq_shift, umax_plus1)
         text_embed = self._text_features(text_input, text_mask, True)
         src_mask_dec = trig if self.src_trigger else enc_mask[:, None, :]
         dec_h, _ = self.mad3(pred, enc_h, text_embed, src_mask_dec,
@@ -295,6 +310,7 @@ class LMNAT2(_LMNATBase):
 
     def __call__(self, src, src_mask, tgt_label, label_sizes,
                  sample_topk: int = 0, text_input=None, text_mask=None,
+                 mix_gt_prob=None,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         (enc_h, enc_mask, _, ctc_out, shift, trig, ylen, umax_plus1,
          feat_sizes, ylabels) = self._encode_and_align(
@@ -313,7 +329,8 @@ class LMNAT2(_LMNATBase):
 
         if text_input is None:
             text_input, text_mask = self._device_text_input(
-                ctc_out, enc_mask, tgt_label, shift, deterministic)
+                ctc_out, enc_mask, tgt_label, shift, deterministic,
+                mix_gt_prob=mix_gt_prob)
         text_embed = self._text_features(text_input, text_mask,
                                          deterministic)
 
@@ -335,7 +352,7 @@ class LMNAT2(_LMNATBase):
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
                    umax_plus1: int, text_input=None, text_mask=None,
-                   return_logits: bool = False):
+                   text_stride: int = 1, return_logits: bool = False):
         """Decode with text fused at the SAD stage (reference: lmnat2.py
         beam_decode — SAD is a mixed-attention stack over the text memory)."""
         trig, ylen, tgt_mask_b1u, queries = self._decode_common(
@@ -346,8 +363,14 @@ class LMNAT2(_LMNATBase):
             ac = self.acembed_extractor(queries, enc_h, trig)
             dec_pos = None
         if text_input is None:
-            text_input, text_mask = self._device_text_from_alignment(
-                aligned_seq_shift, umax_plus1)
+            if text_stride > 1 and not self.use_esa_for_text_encoder:
+                ti0, tm0 = self._device_text_from_alignment(
+                    aligned_seq_shift[::text_stride], umax_plus1)
+                text_input = jnp.repeat(ti0, text_stride, axis=0)
+                text_mask = jnp.repeat(tm0, text_stride, axis=0)
+            else:
+                text_input, text_mask = self._device_text_from_alignment(
+                    aligned_seq_shift, umax_plus1)
         text_embed = self._text_features(text_input, text_mask, True)
         pred, _ = self.sad_mix(ac, text_embed, text_mask[:, None, :],
                                tgt_mask_b1u)
@@ -461,7 +484,7 @@ class LMNAT3(_LMNATBase):
 
     def nat_decode(self, enc_h, enc_mask, aligned_seq_shift, ylen0,
                    umax_plus1: int, text_input=None, text_mask=None,
-                   return_logits: bool = False):
+                   text_stride: int = 1, return_logits: bool = False):
         """Decode with the text-encoder backbone as SAD, no span masking
         (reference: lmnat3.py beam_decode)."""
         del text_input, text_mask  # LMNAT3's SAD consumes embeddings, not text
@@ -521,6 +544,9 @@ def _common_kwargs(input_size, args):
         freeze_text_encoder=getattr(args, "freeze_text_encoder", True),
         mix_type=getattr(args, "mix_type", "none"),
         mix_gt_prob=getattr(args, "mix_gt_prob", 0.5),
+        audio_first=getattr(args, "audio_first", True),
+        use_esa_for_text_encoder=getattr(args, "use_esa_for_text_encoder",
+                                         True),
     )
 
 
@@ -534,6 +560,12 @@ def make_lmnat2(input_size: int, args) -> LMNAT2:
 
 def make_lmnat3(input_size: int, args) -> LMNAT3:
     kw = _common_kwargs(input_size, args)
+    # LMNAT3 spells the text-encoder flavor/freeze keys sad_type/freeze_sad
+    # (reference: lmnat3.py:67-83, lmnat3_task.py:57-74)
+    if getattr(args, "sad_type", None):
+        kw["text_encoder_type"] = args.sad_type
+    if getattr(args, "freeze_sad", None) is not None:
+        kw["freeze_text_encoder"] = args.freeze_sad
     kw.update(plm_alpha=getattr(args, "plm_alpha", 0.3),
               acoustic_mask_prob=getattr(args, "acoustic_mask_prob", 0.3),
               acoustic_mask_length=getattr(args, "acoustic_mask_length", 3))

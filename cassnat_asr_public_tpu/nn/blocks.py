@@ -551,6 +551,7 @@ class Mix3AttDecoderLayer(nn.Module):
     d_ff: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    audio_first: bool = True
 
     @nn.compact
     def __call__(self, x, memory_audio, memory_text, src_mask_audio,
@@ -564,12 +565,15 @@ class Mix3AttDecoderLayer(nn.Module):
         x = _Sublayer(self.dropout, name="sub0")(
             x, lambda h: self_attn(h, h, h, tgt_mask,
                                    deterministic=deterministic), deterministic)
-        x = _Sublayer(self.dropout, name="sub1")(
-            x, lambda h: a_attn(h, memory_audio, memory_audio, src_mask_audio,
+        # audio_first swaps the audio/text cross-attention order
+        # (reference: fanat_conformer_blocks.py:131-137, lmnat.py:52,58)
+        audio = lambda h: _Sublayer(self.dropout, name="sub1")(
+            h, lambda y: a_attn(y, memory_audio, memory_audio, src_mask_audio,
                                 deterministic=deterministic), deterministic)
-        x = _Sublayer(self.dropout, name="sub2")(
-            x, lambda h: t_attn(h, memory_text, memory_text, src_mask_text,
+        text = lambda h: _Sublayer(self.dropout, name="sub2")(
+            h, lambda y: t_attn(y, memory_text, memory_text, src_mask_text,
                                 deterministic=deterministic), deterministic)
+        x = text(audio(x)) if self.audio_first else audio(text(x))
         return _Sublayer(self.dropout, name="sub3")(
             x, lambda h: ff(h, deterministic=deterministic), deterministic)
 
@@ -582,6 +586,7 @@ class Mix3AttDecoder(nn.Module):
     n_layers: int
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    audio_first: bool = True
 
     @nn.compact
     def __call__(self, x, memory_audio, memory_text, src_mask_audio,
@@ -591,6 +596,7 @@ class Mix3AttDecoder(nn.Module):
         for i in range(self.n_layers):
             x = Mix3AttDecoderLayer(self.d_model, self.n_head, self.d_ff,
                                     self.dropout, self.compute_dtype,
+                                    audio_first=self.audio_first,
                                     name=f"layer{i}")(
                 x, memory_audio, memory_text, src_mask_audio, src_mask_text,
                 tgt_mask, deterministic)

@@ -30,6 +30,16 @@ ENCODER_SUBTREES = ("src_embed", "encoder", "ctc_generator",
                     "interctc_generator")
 
 
+def _subtree_mask(tree, subtrees):
+    """Bool pytree marking leaves under params/<name> for name in subtrees
+    (optax.masked convention)."""
+    def mark(sub, flag):
+        return jax.tree_util.tree_map(lambda _: flag, sub)
+    return {k: ({n: mark(v, n in subtrees) for n, v in sub.items()}
+                if k == "params" else mark(sub, False))
+            for k, sub in tree.items()}
+
+
 class CassNATTask(BaseTask):
     model_name = "cassnat"
 
@@ -63,14 +73,23 @@ class CassNATTask(BaseTask):
                 args.optim_type, ("encoder", "decoder"), label_fn, args)
         else:
             self.optimizer = get_optim(args.optim_type, args)
+        if getattr(args, "fix_encoder", False):
+            # permanent encoder freeze (reference: cassnat_task.py:80-81
+            # requires_grad=False on the transplanted subtrees)
+            self.optimizer = optax.chain(
+                self.optimizer,
+                optax.masked(optax.set_to_zero(),
+                             lambda p: _subtree_mask(p, ENCODER_SUBTREES)))
         accum = getattr(args, "accum_grad", 1)
         if accum > 1:
             self.optimizer = optax.MultiSteps(self.optimizer, accum)
         self.state.opt_state = self.optimizer.init(self.state.params)
 
     def load_pretrained_model(self, args):
-        """AST checkpoint -> encoder subtrees only
-        (reference: cassnat_task.py:62-83)."""
+        """AST checkpoint -> encoder subtrees only, gated by init_encoder
+        (reference: cassnat_task.py:58-83)."""
+        if not getattr(args, "init_encoder", True):
+            return
         state = ckpt.load_checkpoint(args.resume_model)
         self.state.params = ckpt.transplant_subtrees(
             self.state.params, state["params"], ENCODER_SUBTREES)

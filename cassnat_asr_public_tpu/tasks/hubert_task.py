@@ -40,7 +40,10 @@ class HubertTask(BaseTask):
         self.state.opt_state = self.optimizer.init(self.state.params)
 
     def load_pretrained_model(self, args):
-        """fairseq .pt -> hub_base.* (reference: hubert_task.py:75-117)."""
+        """fairseq .pt -> hub_base.*, gated by init_encoder
+        (reference: hubert_task.py:70-117)."""
+        if not getattr(args, "init_encoder", True):
+            return
         path = args.resume_model
         if path.endswith(".pt"):
             self.state.params = load_fairseq_hubert(path, self.state.params)

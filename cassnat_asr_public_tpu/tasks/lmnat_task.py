@@ -106,6 +106,28 @@ class LMNATTask(CassNATTask):
         mask[:, 0] = True  # never a fully-empty text row
         return out, mask
 
+    def run_one_epoch(self, epoch, args, is_train=True):
+        self._epoch_is_train = is_train
+        return super().run_one_epoch(epoch, args, is_train)
+
+    def _scheduled_mix_gt(self):
+        """Linear anneal of the schedule-sampling ground-truth probability:
+        1 before mix_gt_start_steps, then mix_gt_prob_max -> mix_gt_prob_min
+        over mix_gt_steps updates (reference: lmnat_task.py:333-338). Falls
+        back to the static mix_gt_prob when no schedule keys are set."""
+        a = self.args
+        start = getattr(a, "mix_gt_start_steps", None)
+        if start is None:
+            return float(getattr(a, "mix_gt_prob", 0.5))
+        if self.state.step < start:
+            return 1.0
+        pmax = float(getattr(a, "mix_gt_prob_max",
+                             getattr(a, "mix_gt_prob", 0.5)))
+        pmin = float(getattr(a, "mix_gt_prob_min", 0.0))
+        steps = max(int(getattr(a, "mix_gt_steps", 1)), 1)
+        return max(pmin,
+                   pmax - (self.state.step - start) * (pmax - pmin) / steps)
+
     def prepare_batch(self, batch):
         d = super().prepare_batch(batch)
         if self._needs_host_text():
@@ -118,14 +140,23 @@ class LMNATTask(CassNATTask):
             from cassnat_asr_public_tpu.parallel.mesh import shard_batch
             d.update(shard_batch({"text_input": ti, "text_mask": tm},
                                  self.mesh))
+        if getattr(self.args, "mix_type", "none") != "none" and \
+                getattr(self, "_epoch_is_train", False):
+            # traced scalar -> no recompile as the anneal advances
+            d["mix_gt_prob"] = np.float32(self._scheduled_mix_gt())
         return d
 
     def load_pretrained_model(self, args):
-        """AST encoder init + optional pretrained text encoder
-        (reference: lmnat_task.py:119-130)."""
+        """AST encoder init (gated by init_encoder, via super) + optional
+        pretrained text encoder gated by init_text_encoder — LMNAT3 spells
+        it init_sad (reference: lmnat_task.py:99-147, lmnat3_task.py:83-102)."""
         super().load_pretrained_model(args)
+        init_te = getattr(args, "init_sad", None) if self.variant == \
+            "lmnat3" else None
+        if init_te is None:
+            init_te = getattr(args, "init_text_encoder", True)
         te_path = getattr(args, "text_encoder_path", "")
-        if te_path:
+        if te_path and init_te:
             state = ckpt.load_checkpoint(te_path)
             self.state.params = ckpt.transplant_subtrees(
                 self.state.params, state["params"], ("text_encoder",))
@@ -139,6 +170,8 @@ class LMNATTask(CassNATTask):
         if "text_input" in batch:
             kwargs = {"text_input": batch["text_input"],
                       "text_mask": batch["text_mask"]}
+        if train and "mix_gt_prob" in batch and self.variant != "lmnat3":
+            kwargs["mix_gt_prob"] = batch["mix_gt_prob"]
         return self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt_label,
             batch["label_sizes"], sample_topk=sample_topk,

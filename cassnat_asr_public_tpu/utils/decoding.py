@@ -225,6 +225,11 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
             text_input = _repeat_batch(text_input, n_cand)
             text_mask = _repeat_batch(text_mask, n_cand)
         nat_kwargs = {"text_input": text_input, "text_mask": text_mask}
+    elif n_cand > 1 and not getattr(model, "use_esa_for_text_encoder", True):
+        # device-lm text built once per utterance from its first candidate
+        # and tiled over the ESA expansion (reference: lmnat2.py:485-516
+        # use_esa_for_text_encoder=0)
+        nat_kwargs = {"text_stride": n_cand}
     # Fast path: when neither per-position beam nor LM fusion needs the
     # full normalized distribution, fetch raw logits — argmax is identical
     # and per-token log-probs are logit - logsumexp; skipping the (N,U,V)

@@ -138,3 +138,103 @@ def test_lmnat_gpt2_trains_and_loss_drops(tmp_path, rng):
     d = task.prepare_batch(b)
     assert "text_input" in d and d["text_input"].shape[0] == \
         d["feats"].shape[0]
+
+
+def test_mix3_audio_first_flag():
+    """audio_first swaps the audio/text cross-attention order inside
+    Mix3AttDecoderLayer without changing the parameter tree
+    (reference: fanat_conformer_blocks.py:131-137, lmnat.py:52,58)."""
+    from cassnat_asr_public_tpu.nn.blocks import Mix3AttDecoder
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    B, U, T, D = 2, 5, 11, 16
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, U, D))
+    mem_a = jax.random.normal(jax.random.fold_in(key, 1), (B, T, D))
+    mem_t = jax.random.normal(jax.random.fold_in(key, 2), (B, U, D))
+    am = jnp.ones((B, 1, T), bool)
+    tm = jnp.ones((B, 1, U), bool)
+    sm = jnp.ones((B, U, U), bool)
+
+    out = {}
+    params0 = None
+    for af in (True, False):
+        mod = Mix3AttDecoder(D, 4, 32, 1, dropout=0.0, audio_first=af)
+        params = mod.init(key, x, mem_a, mem_t, am, tm, sm)
+        if params0 is None:
+            params0 = params
+        else:
+            # identical tree structure and shapes regardless of order
+            assert jax.tree_util.tree_structure(params) == \
+                jax.tree_util.tree_structure(params0)
+        out[af], _ = mod.apply(params0, x, mem_a, mem_t, am, tm, sm)
+    # same params, different order -> different (but finite) outputs
+    assert np.all(np.isfinite(np.asarray(out[True])))
+    assert not np.allclose(np.asarray(out[True]), np.asarray(out[False]))
+
+
+def test_mix_gt_schedule_formula():
+    """Linear schedule-sampling anneal (reference: lmnat_task.py:333-338):
+    prob=1 before start, then max -> min linearly over mix_gt_steps."""
+    import types
+    from cassnat_asr_public_tpu.tasks.lmnat_task import LMNATTask
+
+    t = LMNATTask.__new__(LMNATTask)
+    t.args = types.SimpleNamespace(mix_type="utterance",
+                                   mix_gt_start_steps=100,
+                                   mix_gt_prob_max=0.9, mix_gt_prob_min=0.3,
+                                   mix_gt_steps=200)
+    t.state = types.SimpleNamespace(step=0)
+    assert t._scheduled_mix_gt() == 1.0
+    t.state.step = 100
+    assert abs(t._scheduled_mix_gt() - 0.9) < 1e-9
+    t.state.step = 200
+    assert abs(t._scheduled_mix_gt() - 0.6) < 1e-9
+    t.state.step = 10_000
+    assert abs(t._scheduled_mix_gt() - 0.3) < 1e-9
+    # static fallback without schedule keys
+    t.args = types.SimpleNamespace(mix_type="utterance", mix_gt_prob=0.7)
+    assert abs(t._scheduled_mix_gt() - 0.7) < 1e-9
+
+
+def test_lmnat_mix_gt_prob_override(rng):
+    """mix_gt_prob=1.0 forces the text input to the ground truth; 0.0 keeps
+    the CTC greedy hypothesis - passed as a traced arg, overriding the
+    static module attribute (reference anneal: lmnat_task.py:333-338)."""
+    model, params, feats, src_mask = _tiny_lmnat(
+        make_lmnat, rng, mix_type="utterance", mix_gt_prob=0.5)
+    _, _, labels, label_sizes = batch(rng)
+    tgt_label = labels[:, 1:]
+    rngs = {"dropout": jax.random.PRNGKey(1),
+            "sample": jax.random.PRNGKey(2),
+            "mix": jax.random.PRNGKey(3)}
+    outs = {}
+    for prob in (0.0, 1.0):
+        outs[prob] = model.apply(
+            params, feats, src_mask, tgt_label, label_sizes,
+            mix_gt_prob=jnp.float32(prob), deterministic=False, rngs=rngs)
+    # prob flips which text input the (frozen) text encoder sees, so the
+    # attention output must differ
+    assert not np.allclose(np.asarray(outs[0.0]["att_out"]),
+                           np.asarray(outs[1.0]["att_out"]))
+
+
+def test_lmnat_use_esa_for_text_encoder_flag(rng):
+    """use_esa_for_text_encoder=False builds the decode text once per
+    utterance (first candidate, tiled); True builds it per candidate
+    (reference: lmnat2.py:485-516)."""
+    from cassnat_asr_public_tpu.utils.decoding import nat_decode_jit
+
+    outs = {}
+    for flag in (True, False):
+        model, params, feats, src_mask = _tiny_lmnat(
+            make_lmnat, rng, use_esa_for_text_encoder=flag)
+        out = nat_decode_jit(model, params, jnp.asarray(feats),
+                             jnp.asarray(src_mask), jax.random.PRNGKey(7),
+                             umax=UMAX, sample_num=4, threshold=0.98)
+        outs[flag] = np.asarray(out["tokens"])
+    # both paths decode; shapes agree (semantic difference only shows on a
+    # trained model, but the flag must at least select a runnable path)
+    assert outs[True].shape == outs[False].shape

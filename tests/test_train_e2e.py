@@ -147,3 +147,35 @@ def test_lm_trains(tmp_path, rng):
     for e in range(1, 3):
         last = task.run_one_epoch(e, args, is_train=True)
     assert last["loss"].avg < first["loss"].avg
+
+
+def test_fix_encoder_freeze_mask():
+    """fix_encoder zeroes optimizer updates for the transplanted encoder
+    subtrees, leaving decoder params trainable (reference:
+    cassnat_task.py:80-81 requires_grad=False)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from cassnat_asr_public_tpu.tasks.cassnat_task import (ENCODER_SUBTREES,
+                                                           _subtree_mask)
+
+    params = {"params": {
+        "encoder": {"w": jnp.ones(3)},
+        "src_embed": {"w": jnp.ones(3)},
+        "ctc_generator": {"w": jnp.ones(3)},
+        "decoder": {"w": jnp.ones(3)},
+    }}
+    tx = optax.chain(
+        optax.sgd(1.0),
+        optax.masked(optax.set_to_zero(),
+                     lambda p: _subtree_mask(p, ENCODER_SUBTREES)))
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    p = new["params"]
+    assert np.allclose(p["encoder"]["w"], 1.0)       # frozen
+    assert np.allclose(p["src_embed"]["w"], 1.0)     # frozen
+    assert np.allclose(p["ctc_generator"]["w"], 1.0) # frozen
+    assert np.allclose(p["decoder"]["w"], 0.0)       # trained
