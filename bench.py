@@ -201,7 +201,7 @@ def main():
             lm_apply=lm_apply, lm_params=lm_params, lm_apply_logits=True,
             dedup_align=dedup_align, dedup_rank=dedup_rank)
 
-    def make_esa_loop(dedup_align=0, dedup_rank=0, esa_topk=0):
+    def make_esa_loop(dedup_align=0, dedup_rank=0, esa_topk=0, rank_topm=0):
         @jax.jit
         def loop_esa(params, lm_p, base, key):
             def body(i, acc):
@@ -213,7 +213,8 @@ def main():
                     sample_num=sample_num, threshold=0.9, rank_model="lm",
                     lm_apply=lm_apply, lm_params=lm_p,
                     lm_apply_logits=True, dedup_align=dedup_align,
-                    dedup_rank=dedup_rank, esa_topk=esa_topk)
+                    dedup_rank=dedup_rank, esa_topk=esa_topk,
+                    rank_topm=rank_topm)
                 return acc + out["tokens"].sum() + out["lengths"].sum()
             return jax.lax.fori_loop(0, esa_inner, body,
                                      jnp.zeros((), jnp.int32))
@@ -340,6 +341,22 @@ def main():
         result.update({
             "esa_topk8_mid_rtf": round(rtf8, 6),
             "esa_topk8_mid_vs_baseline": round(BASELINE_RTF / rtf8, 2),
+        })
+
+        # ---- two-stage ranking opt-in: esa_topk=16 + rank_topm=8
+        # (NAT-confidence prescreen; the 16L LM ranks only the top-8
+        # candidates per utt). Parity-task WER 0.12% vs 0.00% full-50
+        # (149/150 hyps identical) — same tier as esa_topk8, which is
+        # cheaper (smaller NAT batch too), so this stays a default-off
+        # knob; measured here for the record (WER_PARITY.md).
+        note("[mid] timing ESA topk16+topm8 loop")
+        rtf_tm = time_loop(make_esa_loop(esa_topk=16, rank_topm=8),
+                           cal["mid"], base_esa)
+        note(f"[mid] ESA topk16+topm8 rtf={rtf_tm:.2e}")
+        result.update({
+            "esa_topk16_topm8_mid_rtf": round(rtf_tm, 6),
+            "esa_topk16_topm8_mid_vs_baseline":
+                round(BASELINE_RTF / rtf_tm, 2),
         })
 
         # ---- two-phase ESA (the production driver path,

@@ -26,9 +26,11 @@ from cassnat_asr_public_tpu.nn.blocks import (
     TrfSAD,
 )
 from cassnat_asr_public_tpu.nn.hubert_frontend import (
+    DEFAULT_CONV_LAYERS,
     ConvFeatureExtractor,
     HubertTransformerEncoder,
     conv_out_length,
+    parse_conv_layers,
 )
 from cassnat_asr_public_tpu.nn.modules import Generator, \
     sinusoidal_position_encoding
@@ -43,6 +45,12 @@ from cassnat_asr_public_tpu.ops.ssl import compute_span_mask, num_mask_spans
 from cassnat_asr_public_tpu.utils.losses import label_smoothing_loss
 
 
+def _grad_multiply(x, g: float):
+    """Identity forward, gradient scaled by g (reference GradMultiply,
+    hubert_blocks.py forward_features feature_grad_mult)."""
+    return x * g + jax.lax.stop_gradient(x * (1.0 - g))
+
+
 class HubertEncoderModel(nn.Module):
     """Waveform -> contextual features (the pretrained part)."""
     d_model: int = 768
@@ -53,44 +61,72 @@ class HubertEncoderModel(nn.Module):
     layerdrop: float = 0.05
     mask_prob: float = 0.0
     mask_length: int = 10
+    mask_channel_prob: float = 0.0
+    mask_channel_length: int = 10
+    dropout_input: float = 0.0
+    feature_grad_mult: float = 1.0
+    conv_layers: tuple = DEFAULT_CONV_LAYERS
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
     compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.feature_extractor = ConvFeatureExtractor(
+            conv_layers=self.conv_layers,
             compute_dtype=self.compute_dtype, name="feature_extractor")
         self.feat_ln = nn.LayerNorm(name="feat_ln")
         self.post_extract_proj = nn.Dense(self.d_model,
                                           name="post_extract_proj")
         self.encoder = HubertTransformerEncoder(
             self.n_layers, self.d_model, self.n_head, self.d_ff,
-            self.dropout, self.layerdrop, compute_dtype=self.compute_dtype,
+            self.dropout, self.layerdrop, conv_pos=self.conv_pos,
+            conv_pos_groups=self.conv_pos_groups,
+            compute_dtype=self.compute_dtype,
             name="encoder")
         self.mask_embed = self.param("mask_embed",
                                      nn.initializers.uniform(scale=1.0),
                                      (self.d_model,))
+        self.drop_in = nn.Dropout(self.dropout_input, name="dropout_input")
 
     def __call__(self, wav, wav_lengths, mask: bool = False,
                  deterministic: bool = True):
         """wav: (B, S); wav_lengths: (B,). Returns (x (B,T,D), feat_mask)."""
         feats = self.feature_extractor(wav)  # (B, T, C)
+        if self.feature_grad_mult == 0.0:
+            feats = jax.lax.stop_gradient(feats)
+        elif self.feature_grad_mult != 1.0:
+            # reference scales the conv-frontend gradient during fine-tuning
+            # (hubert_train.yaml feature_grad_mult 0.1)
+            feats = _grad_multiply(feats, self.feature_grad_mult)
         tmax = feats.shape[1]
         out_lens = self._out_lengths(wav_lengths)
         feat_mask = jnp.arange(tmax)[None, :] < out_lens[:, None]
         feats = self.feat_ln(feats)
         x = self.post_extract_proj(feats)
+        if self.dropout_input > 0:
+            x = self.drop_in(x, deterministic=deterministic)
         if mask and self.mask_prob > 0:
             n_spans = num_mask_spans(tmax, self.mask_prob, self.mask_length)
             span = compute_span_mask(self.make_rng("mask"), out_lens, tmax,
                                      n_spans, self.mask_length)
             x = jnp.where(span[..., None], self.mask_embed.astype(x.dtype), x)
+        if mask and self.mask_channel_prob > 0:
+            # channel spans zeroed across all frames
+            # (reference apply_mask, hubert_blocks.py:427-444)
+            c = x.shape[-1]
+            n_spans = num_mask_spans(c, self.mask_channel_prob,
+                                     self.mask_channel_length)
+            cspan = compute_span_mask(
+                self.make_rng("mask"),
+                jnp.full((x.shape[0],), c, jnp.int32), c, n_spans,
+                self.mask_channel_length)
+            x = jnp.where(cspan[:, None, :], 0.0, x)
         x = self.encoder(x, feat_mask, deterministic=deterministic)
         return x, feat_mask
 
     def _out_lengths(self, wav_lengths):
-        from cassnat_asr_public_tpu.nn.hubert_frontend import \
-            DEFAULT_CONV_LAYERS
         n = wav_lengths
-        for _, k, s in DEFAULT_CONV_LAYERS:
+        for _, k, s in self.conv_layers:
             n = (n - k) // s + 1
         return jnp.maximum(n, 1)
 
@@ -104,6 +140,18 @@ class HubertNAT(nn.Module):
     d_ff: int = 3072
     encoder_dropout: float = 0.1
     layerdrop: float = 0.05
+    # fine-tune span-mask augmentation + frontend grad scaling
+    # (reference: hubert_train.yaml mask_prob 0.8, feature_grad_mult 0.1;
+    # applied in hubert_blocks.py forward via apply_mask)
+    mask_prob: float = 0.0
+    mask_length: int = 10
+    mask_channel_prob: float = 0.0
+    mask_channel_length: int = 10
+    dropout_input: float = 0.0
+    feature_grad_mult: float = 1.0
+    conv_layers: tuple = DEFAULT_CONV_LAYERS
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
     # NAT decoder config
     use_conv_dec: bool = True
     n_extra: int = 1
@@ -135,6 +183,13 @@ class HubertNAT(nn.Module):
         self.hub_base = HubertEncoderModel(
             self.d_model, self.n_layers, self.n_head, self.d_ff,
             self.encoder_dropout, self.layerdrop,
+            mask_prob=self.mask_prob, mask_length=self.mask_length,
+            mask_channel_prob=self.mask_channel_prob,
+            mask_channel_length=self.mask_channel_length,
+            dropout_input=self.dropout_input,
+            feature_grad_mult=self.feature_grad_mult,
+            conv_layers=self.conv_layers, conv_pos=self.conv_pos,
+            conv_pos_groups=self.conv_pos_groups,
             compute_dtype=self.compute_dtype, name="hub_base")
         if self.use_conv_dec:
             self.acembed_extractor = ConAcExtra(
@@ -210,7 +265,12 @@ class HubertNAT(nn.Module):
     def __call__(self, wav, wav_lengths, tgt_label, label_sizes,
                  sample_topk: int = 0, deterministic: bool = True
                  ) -> Dict[str, jnp.ndarray]:
+        # training applies the fine-tune span-mask augmentation (reference
+        # hubert_model.py:160 -> hubert_blocks.py apply_mask with the yaml
+        # mask_prob); eval/decode runs unmasked (the reference's unmasked
+        # entry is extract_features, hubert_blocks.py:595-612)
         enc_h, enc_mask = self.hub_base(wav, wav_lengths,
+                                        mask=not deterministic,
                                         deterministic=deterministic)
         if self.freeze_encoder:
             enc_h = jax.lax.stop_gradient(enc_h)
@@ -272,6 +332,16 @@ def make_model(args) -> HubertNAT:
         d_ff=getattr(args, "encoder_ffn_embed_dim", 3072),
         encoder_dropout=getattr(args, "encoder_dropout", 0.1),
         layerdrop=getattr(args, "encoder_layerdrop", 0.05),
+        mask_prob=getattr(args, "mask_prob", 0.0),
+        mask_length=getattr(args, "mask_length", 10),
+        mask_channel_prob=getattr(args, "mask_channel_prob", 0.0),
+        mask_channel_length=getattr(args, "mask_channel_length", 10),
+        dropout_input=getattr(args, "dropout_input", 0.0),
+        feature_grad_mult=getattr(args, "feature_grad_mult", 1.0),
+        conv_layers=parse_conv_layers(
+            getattr(args, "conv_feature_layers", DEFAULT_CONV_LAYERS)),
+        conv_pos=getattr(args, "conv_pos", 128),
+        conv_pos_groups=getattr(args, "conv_pos_groups", 16),
         use_conv_dec=getattr(args, "use_conv_dec", True),
         n_extra=getattr(args, "N_extra", 1),
         n_self_dec=getattr(args, "N_self_dec", 5),

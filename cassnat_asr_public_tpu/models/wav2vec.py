@@ -43,6 +43,9 @@ class Wav2vec2(nn.Module):
     # ssl params (reference: wav2vec yaml surface)
     mask_prob: float = 0.65
     mask_length: int = 10
+    # channel masking (reference: wav2vec_model.py apply_mask:258-275)
+    mask_channel_prob: float = 0.0
+    mask_channel_length: int = 10
     num_negatives: int = 100
     # negative-sampling variants (reference: wav2vec_model.py:141-172)
     negatives_from_everywhere: bool = False
@@ -116,6 +119,17 @@ class Wav2vec2(nn.Module):
                                          self.mask_length)
             x = jnp.where(mask_idx[..., None],
                           self.mask_embed.astype(x.dtype), x)
+            if self.mask_channel_prob > 0:
+                # channel spans zeroed across all frames
+                # (reference: wav2vec_model.py apply_mask:258-275)
+                c = x.shape[-1]
+                n_cspans = num_mask_spans(c, self.mask_channel_prob,
+                                          self.mask_channel_length)
+                cspan = compute_span_mask(
+                    self.make_rng("mask"),
+                    jnp.full((x.shape[0],), c, jnp.int32), c, n_cspans,
+                    self.mask_channel_length)
+                x = jnp.where(cspan[:, None, :], 0.0, x)
             y, y_valid = gather_fixed_count(unmasked, mask_idx, m_count)
         else:
             mask_idx = feat_mask
@@ -207,6 +221,8 @@ def make_model(input_size: int, args) -> Wav2vec2:
         share_ff=getattr(args, "share_ff", False),
         mask_prob=getattr(args, "mask_prob", 0.65),
         mask_length=getattr(args, "mask_length", 10),
+        mask_channel_prob=getattr(args, "mask_channel_prob", 0.0),
+        mask_channel_length=getattr(args, "mask_channel_length", 10),
         num_negatives=getattr(args, "num_negatives", 100),
         negatives_from_everywhere=getattr(args, "negatives_from_everywhere",
                                           False),

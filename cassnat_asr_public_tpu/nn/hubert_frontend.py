@@ -25,6 +25,32 @@ def conv_out_length(n: int, layers=DEFAULT_CONV_LAYERS) -> int:
     return n
 
 
+def parse_conv_layers(spec) -> Tuple[Tuple[int, int, int], ...]:
+    """Parse the fairseq-style conv_feature_layers config string, e.g.
+    '[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2'
+    (reference: hubert_config.py conv_feature_layers, evaluated by
+    fairseq with eval()). Restricted AST walk: only int/list/tuple
+    literals combined with + and * are accepted."""
+    if not isinstance(spec, str):
+        return tuple(tuple(t) for t in spec)
+    import ast
+
+    def ev(n):
+        if isinstance(n, ast.BinOp) and isinstance(n.op, (ast.Add, ast.Mult)):
+            left, right = ev(n.left), ev(n.right)
+            return left + right if isinstance(n.op, ast.Add) \
+                else left * right
+        if isinstance(n, ast.List):
+            return [ev(e) for e in n.elts]
+        if isinstance(n, ast.Tuple):
+            return tuple(ev(e) for e in n.elts)
+        if isinstance(n, ast.Constant) and isinstance(n.value, int):
+            return n.value
+        raise ValueError(f"unsupported conv_feature_layers: {spec!r}")
+
+    return tuple(tuple(t) for t in ev(ast.parse(spec, mode="eval").body))
+
+
 class ConvFeatureExtractor(nn.Module):
     """Strided 1-D conv stack over raw waveform (B, S) -> (B, T, C)."""
     conv_layers: Tuple[Tuple[int, int, int], ...] = DEFAULT_CONV_LAYERS
@@ -111,11 +137,14 @@ class HubertTransformerEncoder(nn.Module):
     d_ff: int = 3072
     dropout: float = 0.1
     layerdrop: float = 0.05
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic=True):
-        x = x + ConvPositionalEmbedding(self.d_model,
+        x = x + ConvPositionalEmbedding(self.d_model, self.conv_pos,
+                                        self.conv_pos_groups,
                                         compute_dtype=self.compute_dtype,
                                         name="pos_conv")(x)
         x = nn.LayerNorm(name="ln")(x)

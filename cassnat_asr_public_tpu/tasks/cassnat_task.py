@@ -265,6 +265,7 @@ class CassNATTask(BaseTask):
                     lm_model=fusion_lm,
                     lm_weight=getattr(args, "lm_weight", 0.0),
                     esa_topk=getattr(args, "esa_topk", 0),
+                    rank_topm=getattr(args, "esa_rank_topm", 0),
                     lm_apply_logits=getattr(self, "lm_apply_logits",
                                             False),
                     use_megakernel=use_mk,

@@ -35,8 +35,35 @@ class HubertTask(BaseTask):
             jnp.ones((1, 5), jnp.int32), jnp.asarray([3]))
         self.state = TrainState(params, None)
 
+    # pretrained encoder vs fresh NAT decoder param groups for MulNoam
+    # (reference: hubert_task.py:167-188 — src_embed/encoder/ctc_generator
+    # are the transplanted fairseq stack; here that stack is `hub_base`)
+    ENCODER_SUBTREES = ("hub_base", "ctc_generator")
+
     def set_optimizer(self, args):
-        super().set_optimizer(args)
+        if getattr(args, "multi_optim", False) and isinstance(
+                getattr(args, "noam_factor", None), (list, tuple)):
+            from cassnat_asr_public_tpu.utils.schedules import get_mul_optim
+
+            subtrees = self.ENCODER_SUBTREES
+
+            def label_fn(params):
+                def label_of(path):
+                    top = path[0].key if hasattr(path[0], "key") else path[0]
+                    if top == "params" and len(path) > 1:
+                        top = path[1].key if hasattr(path[1], "key") \
+                            else path[1]
+                    return "encoder" if top in subtrees else "decoder"
+                return jax.tree_util.tree_map_with_path(
+                    lambda p, _: label_of(p), params)
+
+            self.optimizer = get_mul_optim(
+                args.optim_type, ("encoder", "decoder"), label_fn, args)
+            accum = getattr(args, "accum_grad", 1)
+            if accum > 1:
+                self.optimizer = optax.MultiSteps(self.optimizer, accum)
+        else:
+            super().set_optimizer(args)
         self.state.opt_state = self.optimizer.init(self.state.params)
 
     def load_pretrained_model(self, args):

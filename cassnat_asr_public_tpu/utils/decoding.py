@@ -95,12 +95,26 @@ def _group_dedup(h1, h2, bs, n_cand):
     return is_dup, (~is_dup).sum(-1).astype(jnp.int32)
 
 
+def _nat_confidence(att_out, att_pred, slot_valid, fast_logits):
+    """Mean per-token log-prob of the NAT argmax tokens (the model's own
+    candidate confidence; reference ranks with this when no external rank
+    model is configured, cassnat.py:505-511). With fast_logits, att_out
+    are raw logits and log-probs are logit - logsumexp."""
+    own = jnp.take_along_axis(att_out, att_pred[..., None],
+                              axis=-1)[..., 0].astype(jnp.float32)
+    if fast_logits:
+        own = own - jax.nn.logsumexp(att_out.astype(jnp.float32), axis=-1)
+    own = jnp.where(slot_valid, own, 0.0)
+    return own.sum(-1) / jnp.maximum(slot_valid.sum(-1), 1)
+
+
 @partial(jax.jit, static_argnames=("model", "umax", "sample_num",
                                   "rank_model", "threshold", "lm_apply",
                                   "beam_width", "lm_weight", "align",
                                   "lm_model", "esa_topk",
                                   "lm_apply_logits", "dedup_align",
-                                  "dedup_rank", "use_megakernel"))
+                                  "dedup_rank", "use_megakernel",
+                                  "rank_topm"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -112,7 +126,7 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    text_input=None, text_mask=None, esa_topk: int = 0,
                    lm_apply_logits: bool = False, dedup_align: int = 0,
                    dedup_rank: int = 0, pre_enc=None,
-                   use_megakernel: bool = False):
+                   use_megakernel: bool = False, rank_topm: int = 0):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -146,6 +160,16 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         by every group member — are deduped the same way before the rank
         model runs; `n_unique_rank` is reported. Exact under the same
         cap condition.
+
+    rank_topm > 0 (with rank_model lm/at_baseline; TPU-native extension,
+    default off): two-stage ranking — the NAT model's own confidence
+    (mean per-token log-prob, the reference's no-rank-model score,
+    cassnat.py:505-511) prescreens candidates and only the top
+    `rank_topm` per utterance reach the external rank model. Cuts the
+    rank-model batch n_cand/rank_topm-fold; changes output when the rank
+    model would have preferred a candidate outside the NAT's own top-M.
+    WER-measured on the trained parity task (WER_PARITY.md): dominated by
+    esa_topk at equal cost there, hence default-off.
     """
     bs = feats.shape[0]
     if pre_enc is None:
@@ -281,6 +305,20 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                                             0).reshape(bs, n_cand),
                 **stats,
             }
+        if rank_model in ("lm", "at_baseline") and rank_topm \
+                and rank_topm < n_cand:
+            # Two-stage ranking: NAT-confidence prescreen, external rank
+            # model only on the top-M candidates per utterance.
+            conf = _nat_confidence(att_out, att_pred, slot_valid,
+                                   fast_logits)
+            idx_m = jax.lax.top_k(conf.reshape(bs, n_cand), rank_topm)[1]
+            flat_m = (jnp.arange(bs)[:, None] * n_cand + idx_m).reshape(-1)
+            att_pred = att_pred[flat_m]
+            att_out = att_out[flat_m]
+            ylen = ylen[flat_m]
+            n_cand = rank_topm
+            n = bs * n_cand
+            slot_valid = jnp.arange(umax)[None, :] < (ylen - 1)[:, None]
         if rank_model in ("lm", "at_baseline"):
             sos = jnp.ones((n, 1), att_pred.dtype)
             lm_input = jnp.concatenate([sos, att_pred[:, :-1]], axis=1)
@@ -299,15 +337,10 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
             denom = jnp.maximum(slot_valid.sum(-1), 1)
             cand_score = tok_scores.sum(-1) / denom  # (N,)
         else:
-            # rank by the NAT model's own confidence
-            own = jnp.take_along_axis(att_out, att_pred[..., None],
-                                      axis=-1)[..., 0].astype(jnp.float32)
-            if fast_logits:
-                # logits -> per-token log-prob without normalizing over V
-                own = own - jax.nn.logsumexp(
-                    att_out.astype(jnp.float32), axis=-1)
-            own = jnp.where(slot_valid, own, 0.0)
-            cand_score = own.sum(-1) / jnp.maximum(slot_valid.sum(-1), 1)
+            # rank by the NAT model's own confidence (logits path computes
+            # per-token log-prob as logit - logsumexp, no V-normalization)
+            cand_score = _nat_confidence(att_out, att_pred, slot_valid,
+                                         fast_logits)
         cand_score = cand_score.reshape(bs, n_cand)
         best = cand_score.argmax(-1)  # (B,)
         att_pred = att_pred.reshape(bs, n_cand, umax)[

@@ -187,6 +187,15 @@ DECODE_MODES = {
                           threshold=0.9, rank_model="lm", esa_topk=16),
     "esa_lm_topk8": dict(decode_type="esa_att", sample_num=50,
                          threshold=0.9, rank_model="lm", esa_topk=8),
+    # two-stage ranking: NAT-confidence prescreen -> LM on the top-M only
+    "esa_lm_topm4": dict(decode_type="esa_att", sample_num=50,
+                         threshold=0.9, rank_model="lm", esa_rank_topm=4),
+    "esa_lm_topk16_topm4": dict(decode_type="esa_att", sample_num=50,
+                                threshold=0.9, rank_model="lm", esa_topk=16,
+                                esa_rank_topm=4),
+    "esa_lm_topk16_topm8": dict(decode_type="esa_att", sample_num=50,
+                                threshold=0.9, rank_model="lm", esa_topk=16,
+                                esa_rank_topm=8),
     "esa_lm_topk4": dict(decode_type="esa_att", sample_num=50,
                          threshold=0.9, rank_model="lm", esa_topk=4),
     "esa_lm_50_2phase": dict(decode_type="esa_att", sample_num=50,
@@ -241,7 +250,7 @@ def stage_decode():
         with open(full) as f:
             base_h = json.load(f)
         for mode in DECODE_MODES:
-            if not mode.startswith("esa_lm_topk"):
+            if not mode.startswith(("esa_lm_topk", "esa_lm_topm")):
                 continue
             fp = f"{hyp_dir}/{mode}.json"
             if not os.path.exists(fp):
@@ -336,9 +345,24 @@ def stage_report():
         "| decode | WER % | notes |",
         "|---|---|---|",
     ]
+    # hypothesis-identity vs the full-50 ESA decode, from the saved hyps
+    identity = {}
+    full_fp = f"{HERE}/decode_hyps/esa_lm_50.json"
+    if os.path.exists(full_fp):
+        with open(full_fp) as f:
+            base_h = json.load(f)
+        for mode in res:
+            fp = f"{HERE}/decode_hyps/{mode}.json"
+            if mode.startswith(("esa_lm_topk", "esa_lm_topm")) and \
+                    os.path.exists(fp):
+                with open(fp) as f:
+                    h = json.load(f)
+                same = sum(1 for u in base_h if h.get(u) == base_h[u])
+                identity[mode] = f"; {same}/{len(base_h)} hyps " \
+                    "identical to esa_lm_50"
     for mode, rep in res.items():
         lines.append(f"| {mode} | {rep['wer']:.2f} | "
-                     f"{rep['n_words']} ref words |")
+                     f"{rep['n_words']} ref words{identity.get(mode, '')} |")
     for mode, rep in ref_res.items():
         lines.append(f"| **{mode}** (torch) | {rep['wer']:.2f} | "
                      "same weights, same audio |")
@@ -370,7 +394,16 @@ def stage_report():
                          "same weights, same audio |")
     lines += [
         "",
-        "`esa_lm_50_dedup` is asserted equal to `esa_lm_50` (exact dedup).",
+        "`esa_lm_50_dedup` is asserted equal to `esa_lm_50` (exact dedup),",
+        "and `esa_lm_50_2phase` as well (two-phase unique-candidate decode).",
+        "Speed/quality ladder conclusions (drive bench.py's metric choices):",
+        "`esa_topk` (CTC-path preselection before the NAT) dominates —",
+        "K=16 is hypothesis-identical to the full 50-candidate decode and is",
+        "the primary bench config; K=8 flips one utterance (0.12 abs, inside",
+        "the 0.2 north-star bound). Two-stage ranking (`esa_rank_topm`:",
+        "NAT-confidence prescreen before the LM) is implemented but weaker",
+        "at equal cost: topm4 flips 7 utts (0.85%), topk16+topm8 matches",
+        "topk8's 0.12% while doing 2x the NAT work — so it ships default-off.",
         "",
         "## Trained-model emission statistics (feeds bench.py profiles)",
         "",

@@ -126,6 +126,70 @@ def test_dedup_both_stages_exact(tiny_setup):
                                   np.asarray(dedup["tokens"]))
 
 
+def test_rank_topm_cap_is_noop(tiny_setup):
+    """rank_topm >= n_cand leaves the ranked decode bit-identical."""
+    model, params, feats, mask, lm_apply = tiny_setup
+    full = _decode(model, params, feats, mask, lm_apply)
+    capped = _decode(model, params, feats, mask, lm_apply,
+                     rank_topm=SAMPLE_NUM)
+    np.testing.assert_array_equal(np.asarray(full["tokens"]),
+                                  np.asarray(capped["tokens"]))
+
+
+def test_rank_topm_one_equals_confidence_ranking(tiny_setup):
+    """rank_topm=1 hands the rank model exactly one candidate per
+    utterance — the NAT-confidence argmax — so the decode must equal
+    rank_model='none' (the reference's own-confidence ranking,
+    cassnat.py:505-511) regardless of the LM."""
+    model, params, feats, mask, lm_apply = tiny_setup
+    topm1 = _decode(model, params, feats, mask, lm_apply, rank_topm=1)
+    conf = nat_decode_jit(
+        model, params, feats, mask, jax.random.PRNGKey(5), umax=24,
+        sample_num=SAMPLE_NUM, threshold=0.9, rank_model="none")
+    np.testing.assert_array_equal(np.asarray(topm1["tokens"]),
+                                  np.asarray(conf["tokens"]))
+    np.testing.assert_array_equal(np.asarray(topm1["lengths"]),
+                                  np.asarray(conf["lengths"]))
+
+
+def test_rank_topm_properties(tiny_setup):
+    """rank_topm=M: the winner (a) appears among the full candidate set
+    (host-rank path exposes it) and (b) has toy-LM score >= the score of
+    the NAT-confidence argmax candidate — which always survives the
+    prescreen, so the two-stage rank can only improve on it."""
+    model, params, feats, mask, lm_apply = tiny_setup
+    m = 3
+    topm = _decode(model, params, feats, mask, lm_apply, rank_topm=m)
+    conf1 = _decode(model, params, feats, mask, lm_apply, rank_topm=1)
+    host = nat_decode_jit(
+        model, params, feats, mask, jax.random.PRNGKey(5), umax=24,
+        sample_num=SAMPLE_NUM, threshold=0.9, rank_model="host")
+    cands = np.asarray(host["cand_tokens"])     # (B, S, U)
+    lens = np.asarray(host["cand_lengths"])     # (B, S)
+    bs, s, _ = cands.shape
+    tab = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (24, 64)))
+    logp_tab = tab - np.log(np.exp(tab).sum(-1, keepdims=True))
+
+    def toy_lm_score(row, ln):
+        if ln == 0:
+            return 0.0
+        return logp_tab[np.arange(ln), row[:ln]].mean()
+
+    picked = np.asarray(topm["tokens"])
+    picked_len = np.asarray(topm["lengths"])
+    conf_tok = np.asarray(conf1["tokens"])
+    conf_len = np.asarray(conf1["lengths"])
+    for b in range(bs):
+        found = any(
+            lens[b, j] == picked_len[b]
+            and np.array_equal(cands[b, j, :lens[b, j]],
+                               picked[b, :lens[b, j]])
+            for j in range(s))
+        assert found, f"rank_topm winner not among candidates (utt {b})"
+        assert toy_lm_score(picked[b], picked_len[b]) >= \
+            toy_lm_score(conf_tok[b], conf_len[b]) - 1e-6
+
+
 def test_two_phase_exact(tiny_setup):
     """Two-phase decode (esa_align_jit + host bucket selection +
     nat_decode_jit external/pre_enc) must equal the one-call ESA decode."""

@@ -136,6 +136,62 @@ def test_hubert_nat_forward(rng):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_hubert_finetune_mask_and_grad_mult(rng):
+    """hubert_train.yaml fine-tune knobs: mask_prob span augmentation is
+    applied in training only (reference: hubert_model.py:160 ->
+    hubert_blocks.py apply_mask), feature_grad_mult scales the
+    conv-frontend gradient (hubert_blocks.py forward_features), and
+    conv_feature_layers config strings parse like fairseq's eval."""
+    from cassnat_asr_public_tpu.nn.hubert_frontend import parse_conv_layers
+    assert parse_conv_layers("[(24,10,5)] + [(24,3,2)] * 2") == \
+        ((24, 10, 5), (24, 3, 2), (24, 3, 2))
+
+    def build(gmult):
+        args = hubert_tiny_args()
+        args.mask_prob = 0.5
+        args.mask_length = 3
+        args.feature_grad_mult = gmult
+        args.conv_feature_layers = "[(24,10,5)] + [(24,3,2)] * 2"
+        return make_hubert(args)
+
+    model = build(0.1)
+    wav = jnp.asarray(rng.normal(size=(2, 3200)).astype(np.float32))
+    wav_lens = jnp.asarray([3200, 2400])
+    labels = np.zeros((2, 6), np.int32)
+    labels[:, :4] = rng.integers(3, VOCAB, size=(2, 4))
+    labels[0, 4] = 2
+    labels[1, 2] = 2
+    labels[1, 3:] = 0
+    lab_sizes = jnp.asarray([4, 2])
+    params = model.init({"params": jax.random.PRNGKey(0)}, wav, wav_lens,
+                        jnp.asarray(labels), lab_sizes)
+
+    ev = model.apply(params, wav, wav_lens, jnp.asarray(labels), lab_sizes,
+                     deterministic=True)
+    tr = model.apply(params, wav, wav_lens, jnp.asarray(labels), lab_sizes,
+                     deterministic=False,
+                     rngs={"mask": jax.random.PRNGKey(3)})
+    # span masking replaced frames with mask_embed -> training loss differs
+    assert abs(float(ev["loss"]) - float(tr["loss"])) > 1e-6
+
+    def conv_grads(gmult):
+        m = build(gmult)
+        g = jax.grad(lambda p: m.apply(
+            p, wav, wav_lens, jnp.asarray(labels), lab_sizes,
+            deterministic=True)["loss"])(params)
+        fe = g["params"]["hub_base"]["feature_extractor"]
+        return np.asarray(fe["conv0"]["kernel"]), \
+            np.asarray(g["params"]["hub_base"]["post_extract_proj"]["kernel"])
+
+    g01, proj01 = conv_grads(0.1)
+    g10, proj10 = conv_grads(1.0)
+    # _grad_multiply's forward is x*g + x*(1-g): identity up to one f32
+    # rounding, so downstream values (and grads) match to ~1e-6 relative
+    np.testing.assert_allclose(g01, 0.1 * g10, rtol=2e-3, atol=1e-6)
+    # grad scaling is frontend-only: everything above is untouched
+    np.testing.assert_allclose(proj01, proj10, rtol=2e-3, atol=1e-6)
+
+
 def test_fairseq_hubert_import(tmp_path, rng):
     """Construct a fairseq-shaped torch state dict and verify the key map
     loads it onto our tree (values land where expected)."""
