@@ -47,18 +47,22 @@ def main():
                      optax.adam(1e-3, b2=0.98))
     opt_state = tx.init(params)
     n_inner = 5
+    # dropout keys use the hardware RBG generator — the shipped training
+    # default on TPU (BaseTask.epoch_rng): threefry mask generation alone
+    # costs ~13 ms/step here (benchmarks/dropout_rng_bench.py)
+    impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
 
     @jax.jit
-    def loop_train(params, opt_state, base, key):
+    def loop_train(params, opt_state, base, key, dkey):
         def body(i, carry):
             params, opt_state = carry
             f = base + jax.random.normal(
                 jax.random.fold_in(key, i), base.shape) * 1e-6
 
             def lf(p):
-                out = model.apply(p, f, mask, labels, lsizes,
-                                  deterministic=False,
-                                  rngs={"dropout": jax.random.fold_in(key, i)})
+                out = model.apply(
+                    p, f, mask, labels, lsizes, deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(dkey, i)})
                 return out["loss"]
 
             loss, grads = jax.value_and_grad(lf)(params)
@@ -67,13 +71,14 @@ def main():
             return params, opt_state
         return jax.lax.fori_loop(0, n_inner, body, (params, opt_state))
 
-    out = loop_train(params, opt_state, base, jax.random.PRNGKey(9))
+    dkey = jax.random.key(9, impl=impl)
+    out = loop_train(params, opt_state, base, jax.random.PRNGKey(9), dkey)
     jax.block_until_ready(out)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(loop_train(params, opt_state, base,
-                                         jax.random.PRNGKey(i)))
+                                         jax.random.PRNGKey(i), dkey))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / n_inner
     frames_per_step = B * T
