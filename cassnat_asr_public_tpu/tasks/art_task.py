@@ -109,8 +109,9 @@ class ArtTask(BaseTask):
                   and getattr(args, "lm_weight", 0) > 0)
         lm_apply = self.lm_apply2 if use_lm else None
         for batch in self.test_loader:
-            feats = jnp.asarray(batch["feats"])
-            mask = jnp.asarray(batch["src_mask"])
+            bd = self.shard_decode_batch(batch)
+            feats = bd["feats"]
+            mask = bd["src_mask"]
             if decode_type == "ctc_only":
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
                                             feats, mask)

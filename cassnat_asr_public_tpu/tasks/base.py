@@ -167,6 +167,44 @@ class BaseTask:
             if self.rank == 0:
                 print(f"Loaded test model {path}", flush=True)
 
+    def shard_decode_batch(self, batch) -> Dict:
+        """numpy decode batch -> device arrays, sharded over the mesh's
+        data axis when more than one device is visible — SPMD batch decode
+        is the TPU-native replacement for the reference's nj-sharded
+        per-GPU decoding (reference: run_art.sh:108-133 splits the scp and
+        runs one process per shard). Single-device meshes pass through.
+
+        The batch dim is padded to a multiple of the data axis by
+        REPEATING the last row (well-conditioned inputs; padding rows sit
+        at the END so per-utterance output indexing via batch['utts'] is
+        unchanged). On first use the params are placed replicated on the
+        mesh (or model-sharded when model_parallel > 1)."""
+        d = {k: v for k, v in batch.items() if k != "utts"}
+        if self.mesh.size == 1:
+            return {k: jnp.asarray(v) for k, v in d.items()}
+        if not getattr(self, "_decode_params_placed", False):
+            if self.mesh.shape.get("model", 1) > 1:
+                from cassnat_asr_public_tpu.parallel.mesh import \
+                    param_sharding_rules
+                rules = param_sharding_rules(self.state.params, self.mesh)
+                self.state.params = jax.tree_util.tree_map(
+                    jax.device_put, self.state.params, rules)
+            else:
+                self.state.params = jax.device_put(self.state.params,
+                                                   replicated(self.mesh))
+            self._decode_params_placed = True
+        n_data = self.mesh.shape["data"]
+        bs = d["feats"].shape[0] if "feats" in d else \
+            next(iter(d.values())).shape[0]
+        pad = (-bs) % n_data
+        if pad:
+            for k, v in d.items():
+                v = np.asarray(v)
+                if v.ndim >= 1 and v.shape[0] == bs:
+                    d[k] = np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)], 0)
+        return shard_batch(d, self.mesh)
+
     def save_checkpoint(self, name: str, epoch: int):
         if self.rank != 0:
             return

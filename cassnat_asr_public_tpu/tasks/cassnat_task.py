@@ -227,8 +227,9 @@ class CassNATTask(BaseTask):
         diffs = None
         t0 = time.time()
         for batch in self.test_loader:
-            feats = jnp.asarray(batch["feats"])
-            mask = jnp.asarray(batch["src_mask"])
+            bd = self.shard_decode_batch(batch)
+            feats = bd["feats"]
+            mask = bd["src_mask"]
             if decode_type == "ctc_only":
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
                                             feats, mask,
@@ -240,8 +241,8 @@ class CassNATTask(BaseTask):
                     self.model, self.state.params, feats, mask, rng,
                     umax=batch["labels"].shape[1] - 1, sample_num=1,
                     align="oracle",
-                    labels=jnp.asarray(batch["labels"][:, 1:-1]),
-                    label_sizes=jnp.asarray(batch["label_sizes"]),
+                    labels=bd["labels"][:, 1:-1],
+                    label_sizes=bd["label_sizes"],
                     use_megakernel=use_mk)
             elif decode_type == "ctc_att":
                 out = self._decode_ctc_beam_align(args, feats, mask,
@@ -280,7 +281,8 @@ class CassNATTask(BaseTask):
                     out = self._rank_ngram(out)
             if getattr(args, "test_hitrate", False):
                 hit_stats, diffs = self._hitrate_update(
-                    batch, feats, mask, out, hit_stats, diffs)
+                    bd, feats, mask, out, hit_stats, diffs,
+                    n_real=len(batch["utts"]))
             toks = np.asarray(out["tokens"])
             lens = np.asarray(out["lengths"])
             for i, utt in enumerate(batch["utts"]):
@@ -465,9 +467,12 @@ class CassNATTask(BaseTask):
             out = self._rank_ngram(out)
         return out
 
-    def _hitrate_update(self, batch, feats, mask, out, stats, diffs):
+    def _hitrate_update(self, batch, feats, mask, out, stats, diffs,
+                        n_real=None):
         """Alignment-accuracy + length-diff stats
-        (reference: cassnat.py:454-463, cassnat_task.py:315-365)."""
+        (reference: cassnat.py:454-463, cassnat_task.py:315-365).
+        `batch` may be the sharded device dict; rows past n_real are
+        SPMD padding and excluded from the statistics."""
         from collections import Counter
         from cassnat_asr_public_tpu.ops.ctc import (
             ctc_best_path_align, ctc_viterbi_align)
@@ -479,9 +484,10 @@ class CassNATTask(BaseTask):
             ctc_out, jnp.asarray(batch["labels"][:, 1:-1]),
             enc_mask.sum(-1), jnp.asarray(batch["label_sizes"]))
         pred, plen = ctc_best_path_align(ctc_out, enc_mask)
-        stats = alignment_hitrate(np.asarray(pred), np.asarray(oracle),
-                                  stats)
-        diffs = utt2diff(np.asarray(plen),
-                         np.asarray(batch["label_sizes"]),
+        n = n_real if n_real is not None else pred.shape[0]
+        stats = alignment_hitrate(np.asarray(pred)[:n],
+                                  np.asarray(oracle)[:n], stats)
+        diffs = utt2diff(np.asarray(plen)[:n],
+                         np.asarray(batch["label_sizes"])[:n],
                          diffs if diffs is not None else Counter())
         return stats, diffs

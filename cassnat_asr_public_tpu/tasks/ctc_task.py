@@ -69,8 +69,9 @@ class CTCTask(BaseTask):
         results = {}
         t0 = time.time()
         for batch in self.test_loader:
-            feats = jnp.asarray(batch["feats"])
-            mask = jnp.asarray(batch["src_mask"])
+            bd = self.shard_decode_batch(batch)
+            feats = bd["feats"]
+            mask = bd["src_mask"]
             if decode_type in ("greedy", "ctc_only"):
                 out = ctc_greedy_decode_jit(self.model, self.state.params,
                                             feats, mask)

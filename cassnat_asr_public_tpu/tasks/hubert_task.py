@@ -156,8 +156,9 @@ class HubertTask(BaseTask):
         results = {}
         t0 = time.time()
         for batch in self.test_loader:
-            wavs = jnp.asarray(batch["wavs"])
-            lens = jnp.asarray(batch["wav_lens"])
+            bd = self.shard_decode_batch(batch)
+            wavs = bd["wavs"]
+            lens = bd["wav_lens"]
             enc_h, enc_mask, ctc_out = self.model.apply(
                 self.state.params, wavs, lens, method="encode_ctc")
             shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
