@@ -177,13 +177,14 @@ def _layer_half_b_kernel(
     hln = _layernorm(x, norms_ref[4:5, :], norms_ref[5:6, :])
     pw = mm(hln, pw1_ref, pw1b_ref[0:1, :])              # (T, 2D)
     g = pw[:, :d] * jax.nn.sigmoid(pw[:, d:])            # GLU
-    # SAME depthwise conv, kernel K: out[t] = sum_j g[t + j - K//2] * w[j]
+    # SAME depthwise conv, kernel K: out[t] = sum_j g[t + j - (K-1)//2] * w[j]
+    # (XLA SAME pads (K-1)//2 low / K//2 high — identical for odd K, and
+    # the asymmetric split keeps even K aligned with the XLA encoder)
     kk = dw_ref.shape[0]
-    half = kk // 2
     # zero-pad once, then accumulate static shifted slices: scatter-style
     # .at[].add does not lower in Mosaic (gather/scatter is 2D-only)
-    zpad = jnp.zeros((half, d), jnp.float32)
-    gpad = jnp.concatenate([zpad, g, zpad], axis=0)       # (T + K - 1, D)
+    gpad = jnp.concatenate([jnp.zeros(((kk - 1) // 2, d), jnp.float32), g,
+                            jnp.zeros((kk // 2, d), jnp.float32)], axis=0)
     acc = jnp.zeros((t, d), jnp.float32)
     for j in range(kk):
         wj = dw_ref[j:j + 1, :].astype(jnp.float32)

@@ -29,7 +29,6 @@ from cassnat_asr_public_tpu.nn.hubert_frontend import (
     DEFAULT_CONV_LAYERS,
     ConvFeatureExtractor,
     HubertTransformerEncoder,
-    conv_out_length,
     parse_conv_layers,
 )
 from cassnat_asr_public_tpu.nn.modules import Generator, \

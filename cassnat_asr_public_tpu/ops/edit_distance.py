@@ -50,11 +50,11 @@ def edit_distance(hyp, hyp_lens, ref, ref_lens):
         row = iota[None, :] + jax.lax.cummin(a - iota[None, :], axis=1)
         # freeze rows beyond this sample's hyp length
         row = jnp.where((i <= hyp_lens)[:, None], row, prev)
-        return row, row
+        return row, None
 
     ts = jnp.arange(1, n + 1, dtype=jnp.int32)
-    last, rows = jax.lax.scan(step, row0, (hyp.T.astype(jnp.int32), ts))
-    # rows: (N, B, M+1); D[hyp_len][ref_len] == frozen last row at ref_len
+    last, _ = jax.lax.scan(step, row0, (hyp.T.astype(jnp.int32), ts))
+    # D[hyp_len][ref_len] == frozen last row at ref_len
     return jnp.take_along_axis(last, ref_lens[:, None].astype(jnp.int32),
                                axis=1)[:, 0]
 

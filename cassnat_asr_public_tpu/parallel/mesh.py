@@ -190,5 +190,10 @@ def constrain_activation(x, batch_axis: str = "data"):
     mesh = _GLOBAL_MESH
     if mesh is None:
         return x
+    n = mesh.shape.get(batch_axis, 1)
+    if n <= 1 or x.shape[0] % n != 0:
+        # non-divisible batches (model.init dummies, ragged tails) can't
+        # be batch-sharded; leave their layout to GSPMD
+        return x
     spec = P(batch_axis, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

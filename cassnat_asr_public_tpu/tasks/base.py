@@ -66,6 +66,14 @@ class BaseTask:
         self.rank = jax.process_index()
         self.world = jax.process_count()
         self.mesh = make_mesh(model=getattr(args, "model_parallel", 1))
+        if self.mesh.shape.get("model", 1) > 1:
+            # activate the models' activation-sharding anchors (Megatron
+            # pattern: residual stream data-sharded at layer boundaries,
+            # GSPMD derives the head-/ff-parallel intermediates); pure-DP
+            # and single-chip meshes leave constrain_activation a no-op —
+            # batch sharding alone propagates fine there
+            from cassnat_asr_public_tpu.parallel.mesh import set_global_mesh
+            set_global_mesh(self.mesh)
         self.vocab = Vocab(args.vocab_file) if getattr(
             args, "vocab_file", None) else None
         self.lm_model = None
@@ -307,15 +315,34 @@ class BaseTask:
             out.pop(k, None)
         return out
 
+    # Extra per-step metric payload staged from the model output (each task
+    # lists the keys its loss_fn emits): '*_loss' keys update the
+    # same-named meter weighted by tokens; '*_errs' keys pair with the
+    # matching '*_tokens' count to update the '*_wer' meter.
+    metric_keys: Tuple[str, ...] = ()
+
     def metric_stage(self, out: Dict, batch: Dict) -> Dict:
         """Per-step metric payload: small DEVICE arrays + host ints only.
         Must not force device results (no float()/np.asarray)."""
-        return {"loss": out["loss"],
-                "tokens": int((batch["labels"][:, 1:] != 0).sum())}
+        s = {"loss": out["loss"],
+             "tokens": int((batch["labels"][:, 1:] != 0).sum())}
+        for k in self.metric_keys:
+            if k in out:
+                s[k] = out[k]
+        return s
 
     def metric_apply(self, vals: Dict, meters: Dict):
         """Consume one host-materialized metric payload."""
         meters["loss"].update(float(vals["loss"]), vals["tokens"])
+        for k in self.metric_keys:
+            if k not in vals:
+                continue
+            if k.endswith("_loss"):
+                meters[k].update(float(vals[k]), vals["tokens"])
+            elif k.endswith("_errs"):
+                name = k[:-len("_errs")]
+                t = max(int(vals[name + "_tokens"]), 1)
+                meters[name + "_wer"].update(int(vals[k]) / t, t)
 
     def _flush_metrics(self, pending, meters):
         if not pending:

@@ -120,28 +120,8 @@ class CassNATTask(BaseTask):
                  att_wer=M.AverageMeter("AttWer", ":.4f"))
         return m
 
-    def metric_stage(self, out, batch):
-        s = super().metric_stage(out, batch)
-        for k in ("ctc_loss", "att_loss", "ctc_errs", "ctc_tokens",
-                  "att_errs", "att_tokens"):
-            if k in out:
-                s[k] = out[k]
-        return s
-
-    def metric_apply(self, vals, meters):
-        super().metric_apply(vals, meters)
-        if "ctc_loss" in vals:
-            meters["ctc_loss"].update(float(vals["ctc_loss"]),
-                                      vals["tokens"])
-        if "att_loss" in vals:
-            meters["att_loss"].update(float(vals["att_loss"]),
-                                      vals["tokens"])
-        if "ctc_errs" in vals:
-            t = max(int(vals["ctc_tokens"]), 1)
-            meters["ctc_wer"].update(int(vals["ctc_errs"]) / t, t)
-        if "att_errs" in vals:
-            t = max(int(vals["att_tokens"]), 1)
-            meters["att_wer"].update(int(vals["att_errs"]) / t, t)
+    metric_keys = ("ctc_loss", "att_loss", "ctc_errs", "ctc_tokens",
+                   "att_errs", "att_tokens")
 
     def epoch_metric(self, valid_meters):
         return valid_meters["att_wer"].avg

@@ -12,10 +12,7 @@ import numpy as np
 from cassnat_asr_public_tpu.models import make_ctc_model
 from cassnat_asr_public_tpu.tasks.base import BaseTask, TrainState
 from cassnat_asr_public_tpu.utils import metrics as M
-from cassnat_asr_public_tpu.utils.decoding import (
-    ctc_frame_beam_decode,
-    ctc_greedy_decode_jit,
-)
+from cassnat_asr_public_tpu.utils.decoding import ctc_greedy_decode_jit
 
 
 class CTCTask(BaseTask):
@@ -48,21 +45,42 @@ class CTCTask(BaseTask):
         m.update(ctc_wer=M.AverageMeter("CtcWer", ":.4f"))
         return m
 
-    def metric_stage(self, out, batch):
-        s = super().metric_stage(out, batch)
-        for k in ("ctc_errs", "ctc_tokens"):
-            if k in out:
-                s[k] = out[k]
-        return s
-
-    def metric_apply(self, vals, meters):
-        super().metric_apply(vals, meters)
-        if "ctc_errs" in vals:
-            t = max(int(vals["ctc_tokens"]), 1)
-            meters["ctc_wer"].update(int(vals["ctc_errs"]) / t, t)
+    metric_keys = ("ctc_errs", "ctc_tokens")
 
     def epoch_metric(self, valid_meters):
         return valid_meters["ctc_wer"].avg
+
+    def load_lm_model(self, args):
+        """Beam-fusion LM. Beyond the reference's transformer-LM fusion
+        (reference: src/tasks/ctc_task.py:61-83), `rank_model: n-gram`
+        loads an ARPA word LM (the kenlm replacement) used to rerank the
+        device beam's n-best host-side."""
+        if getattr(args, "rank_model", "") == "n-gram" and getattr(
+                args, "rnnlm", None):
+            from cassnat_asr_public_tpu.utils.ngram_lm import ArpaLM
+            self.lm_model = ArpaLM(args.rnnlm)
+            self.lm_params = None
+            return
+        super().load_lm_model(args)
+
+    def _rerank_nbest_ngram(self, toks, lens, scores, lm_w):
+        """Pick argmax_k [beam_score(k) + lm_w * arpa(sentence_k)/slots]
+        over the device beam's n-best (scores are length-penalized CTC
+        log-probs; ARPA score is log10 over detokenized words, normalized
+        like CassNATTask._rank_ngram / reference cassnat.py:521-533)."""
+        hyps = []
+        for i in range(toks.shape[0]):
+            best, best_s = [], -np.inf
+            for k in range(toks.shape[1]):
+                hyp = [int(t) for t in toks[i, k, :max(lens[i, k], 0)]]
+                pieces = self.vocab.decode([t for t in hyp if t > 2])
+                sent = "".join(pieces).replace("▁", " ").strip()
+                s = float(scores[i, k]) + lm_w * \
+                    self.lm_model.score(sent) / max(len(hyp) + 1, 1)
+                if s > best_s:
+                    best, best_s = hyp, s
+            hyps.append(best)
+        return hyps
 
     def decode(self, args):
         decode_type = getattr(args, "decode_type", "greedy")
@@ -85,31 +103,30 @@ class CTCTask(BaseTask):
                 from cassnat_asr_public_tpu.models.lm import TransformerLM
                 fusion_lm = self.lm_model if isinstance(
                     self.lm_model, TransformerLM) else None
-                if lm_w > 0 and fusion_lm is None:
-                    # host fallback for non-transformer LM scorers
-                    feat_sizes = np.asarray(enc_mask.sum(-1))
-                    hyps = ctc_frame_beam_decode(
-                        np.asarray(ctc_out), feat_sizes,
-                        beam_width=getattr(args, "ctc_beam", 10),
-                        pruning_size=getattr(args, "ctc_pruning", 10) or 10,
-                        lm_weight=lm_w,
-                        length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0)
+                # device beam; with a fusion LM it advances in-graph
+                # through its KV cache (reference: beam_decode.py:31-55
+                # batched per-frame LM queries)
+                from cassnat_asr_public_tpu.utils.decoding import \
+                    ctc_frame_beam_decode_jit
+                out = ctc_frame_beam_decode_jit(
+                    ctc_out, enc_mask.sum(-1),
+                    beam_width=getattr(args, "ctc_beam", 10),
+                    pruning_size=getattr(args, "ctc_pruning", 10) or 10,
+                    length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0,
+                    lm_model=fusion_lm if lm_w > 0 else None,
+                    lm_params=self.lm_params if lm_w > 0 else None,
+                    lm_weight=lm_w)
+                toks = np.asarray(out["tokens"])
+                lens = np.asarray(out["lengths"])
+                if lm_w > 0 and fusion_lm is None and \
+                        self.lm_model is not None:
+                    # word n-gram (ARPA) can't be queried per-token in the
+                    # frame-sync beam: rerank the device n-best host-side
+                    # with combined score + lm_w * ngram/slots (same
+                    # normalization as CassNATTask._rank_ngram)
+                    hyps = self._rerank_nbest_ngram(
+                        toks, lens, np.asarray(out["scores"]), lm_w)
                 else:
-                    # device beam; with lm_w > 0 the fusion LM advances
-                    # in-graph through its KV cache (reference:
-                    # beam_decode.py:31-55 batched per-frame LM queries)
-                    from cassnat_asr_public_tpu.utils.decoding import \
-                        ctc_frame_beam_decode_jit
-                    out = ctc_frame_beam_decode_jit(
-                        ctc_out, enc_mask.sum(-1),
-                        beam_width=getattr(args, "ctc_beam", 10),
-                        pruning_size=getattr(args, "ctc_pruning", 10) or 10,
-                        length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0,
-                        lm_model=fusion_lm if lm_w > 0 else None,
-                        lm_params=self.lm_params if lm_w > 0 else None,
-                        lm_weight=lm_w)
-                    toks = np.asarray(out["tokens"])
-                    lens = np.asarray(out["lengths"])
                     hyps = [list(toks[i, 0, :lens[i, 0]])
                             for i in range(toks.shape[0])]
             for i, utt in enumerate(batch["utts"]):

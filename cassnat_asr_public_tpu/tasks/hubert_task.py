@@ -133,21 +133,7 @@ class HubertTask(BaseTask):
                  att_wer=M.AverageMeter("AttWer", ":.4f"))
         return m
 
-    def metric_stage(self, out, batch):
-        s = super().metric_stage(out, batch)
-        for k in ("ctc_errs", "ctc_tokens", "att_errs", "att_tokens"):
-            if k in out:
-                s[k] = out[k]
-        return s
-
-    def metric_apply(self, vals, meters):
-        super().metric_apply(vals, meters)
-        if "ctc_errs" in vals:
-            t = max(int(vals["ctc_tokens"]), 1)
-            meters["ctc_wer"].update(int(vals["ctc_errs"]) / t, t)
-        if "att_errs" in vals:
-            t = max(int(vals["att_tokens"]), 1)
-            meters["att_wer"].update(int(vals["att_errs"]) / t, t)
+    metric_keys = ("ctc_errs", "ctc_tokens", "att_errs", "att_tokens")
 
     def epoch_metric(self, valid_meters):
         return valid_meters["att_wer"].avg

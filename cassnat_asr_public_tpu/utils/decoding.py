@@ -201,6 +201,14 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
         # + expanded top_k measured 745 ms of the ~1 s ESA iteration;
         # benchmarks/esa_stage_bench.py).
         from cassnat_asr_public_tpu.ops.ctc import ctc_sampled_align
+        if (dedup_align and dedup_align < sample_num
+                and esa_topk and esa_topk < sample_num):
+            # both are pre-NAT candidate caps with different selection
+            # semantics (unique-first vs top-path-score); composing them
+            # silently would make one a no-op — make the conflict loud
+            raise ValueError(
+                "esa_dedup and esa_topk are mutually exclusive candidate "
+                "preselections; set only one")
         if dedup_align and dedup_align < sample_num:
             # Stage-1 dedup: identical alignments -> identical NAT outputs;
             # run the NAT decoder once per unique alignment.
@@ -476,8 +484,9 @@ def ctc_correct_decode_jit(model, params, feats, src_mask, umax: int,
     bs = hyp.shape[0]
     tgt_in = jnp.concatenate(
         [jnp.full((bs, 1), sos, hyp.dtype), hyp], axis=1)[:, :umax]
+    u = tgt_in.shape[1]  # min(T'+1, umax): T' can undershoot the cap
     att_out = model.apply(params, enc_h, enc_mask, tgt_in,
-                          method="forward_att_scores")  # (B, umax, V)
+                          method="forward_att_scores")  # (B, u, V)
     if beam_width > 1:
         # per-position beam over the corrective posteriors with KV-cached
         # LM fusion. Positions 0..lens INCLUSIVE are live (the reference
@@ -493,7 +502,7 @@ def ctc_correct_decode_jit(model, params, feats, src_mask, umax: int,
             lm_out = jax.nn.log_softmax(lm_out.astype(jnp.float32), axis=-1)
         att_out = att_out + lm_weight * lm_out
     pred = att_out.argmax(-1)
-    valid = jnp.arange(umax)[None, :] <= lens[:, None]  # +1 slot for eos
+    valid = jnp.arange(u)[None, :] <= lens[:, None]  # +1 slot for eos
     pred = jnp.where(valid & (pred != eos), pred, 0)
     out_len = (pred != 0).sum(-1)
     return {"tokens": pred, "lengths": out_len}

@@ -187,6 +187,26 @@ def test_ctc_correct_beam_no_lm_equals_argmax(rng):
                                   np.asarray(out1["tokens"]))
 
 
+def test_ctc_correct_umax_exceeds_frames(rng):
+    """umax larger than the encoder's T'+1 must not shape-crash (the task
+    passes umax = T//4 + 2, which can overshoot the collapsed greedy path
+    width; regression for the AR-parity ctc_correct decode)."""
+    from cassnat_asr_public_tpu.utils.decoding import ctc_correct_decode_jit
+    args = tiny_args()
+    model = make_transformer(20, args)
+    feats, src_mask, labels, label_sizes = batch(rng)
+    tgt, tgt_label = labels[:, :-1], labels[:, 1:]
+    params = model.init(jax.random.PRNGKey(0), feats, src_mask, tgt,
+                        tgt_label, label_sizes)
+    big = feats.shape[1] + 5  # far beyond T' (4x downsampled)
+    out = ctc_correct_decode_jit(model, params, feats, src_mask, umax=big)
+    outb = ctc_correct_decode_jit(model, params, feats, src_mask, umax=big,
+                                  beam_width=3)
+    assert out["tokens"].shape[0] == feats.shape[0]
+    np.testing.assert_array_equal(np.asarray(outb["tokens"]),
+                                  np.asarray(out["tokens"]))
+
+
 def test_ctc_correct_beam_with_lm_matches_bruteforce(rng):
     """Per-position beam after the corrective pass, with KV-cached LM
     fusion, vs a brute-force numpy beam scoring the LM by full forward
