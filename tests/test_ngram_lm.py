@@ -97,3 +97,34 @@ def test_task_rank_ngram_hook(lm):
     np.testing.assert_array_equal(out["tokens"][0], [3, 4, 0])
     np.testing.assert_array_equal(out["tokens"][1], [3, 0, 0])
     np.testing.assert_array_equal(out["lengths"], [2, 1])
+
+
+def test_ctc_task_nbest_ngram_rerank(lm):
+    """CTCTask._rerank_nbest_ngram combines beam scores with the
+    normalized ARPA sentence score over the device n-best."""
+    from cassnat_asr_public_tpu.tasks.ctc_task import CTCTask
+
+    class _Vocab:
+        index2word = {3: "▁a", 4: "▁b", 5: "▁zzz"}
+
+        def decode(self, ids, strip_special=True):
+            return [self.index2word[int(i)] for i in ids]
+
+    task = CTCTask.__new__(CTCTask)
+    task.vocab = _Vocab()
+    task.lm_model = lm
+    # utt0: beam scores tie -> LM decides between "a b" and "zzz zzz"
+    # utt1: LM prefers "a" but a big beam-score gap keeps "b"
+    toks = np.array([
+        [[3, 4, 0], [5, 5, 0]],
+        [[4, 0, 0], [3, 0, 0]],
+    ], np.int32)
+    lens = np.array([[2, 2], [1, 1]], np.int32)
+    scores = np.array([[0.0, 0.0], [0.0, -100.0]], np.float32)
+    hyps = task._rerank_nbest_ngram(toks, lens, scores, lm_w=1.0)
+    assert hyps[0] == [3, 4]
+    assert hyps[1] == [4]
+    # with the gap removed the LM flips utt1 to "a"
+    scores2 = np.array([[0.0, 0.0], [0.0, 0.0]], np.float32)
+    hyps2 = task._rerank_nbest_ngram(toks, lens, scores2, lm_w=1.0)
+    assert hyps2[1] == [3]
