@@ -144,7 +144,6 @@ def main():
          f"taus={ {k: round(v, 4) for k, v in taus.items()} }")
 
     def calibrated_params(tau):
-        import copy
         p = jax.tree_util.tree_map(lambda x: x, params)
         gen = dict(p["params"]["ctc_generator"]["proj"])
         boost = jnp.zeros((args.vocab_size,),
@@ -233,10 +232,10 @@ def main():
 
     result = {
         "metric": "nast_esa_decode_rtf",
-        "unit": "rtf, ESA parity config (sample_num=50 thr=0.9 + 16L "
-                "transformer-LM rank, batch=16, shipped nat_decode_jit, "
-                "exact candidate dedup), 10%-low-confidence emission "
-                "profile",
+        "unit": f"rtf, ESA parity config (sample_num=50 thr=0.9 + 16L "
+                f"transformer-LM rank, batch={esa_batch}, shipped "
+                f"nat_decode_jit, exact candidate dedup), "
+                f"10%-low-confidence emission profile",
         "greedy_rtf": round(greedy_rtf, 7),
         "greedy_vs_baseline": round(BASELINE_RTF / greedy_rtf, 2),
         "greedy_utts_per_sec_chip": round(batch / dt, 1),
@@ -325,11 +324,12 @@ def main():
                 result["value"] = round(rtfk, 6)
                 result["vs_baseline"] = round(BASELINE_RTF / rtfk, 2)
                 result["unit"] = (
-                    "rtf, ESA decode (sample_num=50 thr=0.9, esa_topk=16 "
-                    "preselection, 16L transformer-LM rank, batch=16, "
-                    "shipped nat_decode_jit; topk16 WER-validated == "
-                    "full-50 ESA+LM on the trained parity task, "
-                    "WER_PARITY.md), 10%-low-confidence emission profile")
+                    f"rtf, ESA decode (sample_num=50 thr=0.9, esa_topk=16 "
+                    f"preselection, 16L transformer-LM rank, "
+                    f"batch={esa_batch}, shipped nat_decode_jit; topk16 "
+                    f"WER-validated == full-50 ESA+LM on the trained "
+                    f"parity task, WER_PARITY.md), 10%-low-confidence "
+                    f"emission profile")
 
         # ---- secondary: esa_topk=8 (on the trained parity task: WER
         # 0.12% vs 0.00% full-50, 149/150 hyps identical — inside the

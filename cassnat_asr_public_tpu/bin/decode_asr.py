@@ -8,6 +8,7 @@ import sys
 import time
 
 from cassnat_asr_public_tpu.bin.parser import decode_parser
+from cassnat_asr_public_tpu.data.vocab import pieces_to_text
 from cassnat_asr_public_tpu.utils.config import merge_configs
 
 
@@ -29,8 +30,7 @@ def main(argv=None):
     out_path = args.result_file or "hyp.txt"
     with open(out_path, "w") as f:
         for utt, words in results.items():
-            text = "".join(words).replace("▁", " ") \
-                .replace("<space>", " ").strip()
+            text = pieces_to_text(words)
             f.write(f"{utt} {text}\n")
     print(f"Decoded {len(results)} utts in {elapsed:.2f}s -> {out_path}",
           flush=True)

@@ -8,6 +8,16 @@
 RESERVED = ("blank", "sos", "eos", "unk")
 
 
+def pieces_to_text(pieces):
+    """Join subword pieces into a plain sentence.
+
+    Both word-delimiter conventions are handled: SentencePiece '▁'
+    (wordpiece recipes) and '<space>' (char-unit recipes, e.g. aishell /
+    egs/synth vocab_char). Mirrors the reference's spm_decode + char detok
+    (run_art.sh:139, local/prepare_dict_char.py)."""
+    return "".join(pieces).replace("▁", " ").replace("<space>", " ").strip()
+
+
 class Vocab:
     def __init__(self, vocab_file=None, units=None):
         self.word2index = {}

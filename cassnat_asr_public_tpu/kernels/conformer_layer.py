@@ -147,7 +147,9 @@ def _layer_half_a_kernel(
         smax = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - smax)
         e = jnp.where(kmask, e, 0.0)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        # fully-masked rows (all-pad utterances in a partial batch) must
+        # yield zero weights, not 0/0=NaN — mirror nn/modules.py post-zero
+        w = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
         ctx_h = jax.lax.dot_general(
             w.astype(cdtype), v_h.astype(cdtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -23,8 +23,6 @@ so each row is one vectorized `cummin` and the row loop is a `lax.scan`
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(1 << 20)
-
 
 def edit_distance(hyp, hyp_lens, ref, ref_lens):
     """Batched Levenshtein distance between padded token rows.

@@ -364,6 +364,10 @@ class BaseTask:
         """
         impl = getattr(self.args, "prng_impl", None) or \
             ("rbg" if jax.default_backend() == "tpu" else "threefry2x32")
+        # accept the docstring's short spelling: jax only knows
+        # "threefry2x32" / "rbg" / "unsafe_rbg"
+        if impl == "threefry":
+            impl = "threefry2x32"
         seed = getattr(args, "seed", 0) * 1000 + epoch
         # typed key: carries the impl through split/fold_in/flax rngs
         return jax.random.key(seed, impl=impl)

@@ -365,9 +365,11 @@ class CassNATTask(BaseTask):
         """Rank ESA candidates by ARPA n-gram sentence score / length.
 
         Mirrors reference cassnat.py:521-533: detokenize each candidate
-        (SP pieces joined, '▁' -> space), kenlm-style full-sentence log10
-        score, normalized by the slot count, argmax over sample_num.
+        (shared pieces_to_text: '▁' and '<space>' delimiters), kenlm-style
+        full-sentence log10 score, normalized by the slot count, argmax
+        over sample_num.
         """
+        from cassnat_asr_public_tpu.utils.ngram_lm import arpa_slot_score
         cands = np.asarray(out["cand_tokens"])    # (B, S, U)
         lens = np.asarray(out["cand_lengths"])    # (B, S)
         bs, s, umax = cands.shape
@@ -376,12 +378,9 @@ class CassNATTask(BaseTask):
         for i in range(bs):
             scores = np.empty(s, np.float64)
             for j in range(s):
-                pieces = self.vocab.decode(
-                    [t for t in cands[i, j, :lens[i, j]] if t > 2])
-                sent = "".join(pieces).replace("▁", " ").strip()
-                # tgt_len in the reference counts slots incl. the eos slot
-                scores[j] = self.lm_model.score(sent) / max(
-                    int(lens[i, j]) + 1, 1)
+                scores[j] = arpa_slot_score(
+                    self.lm_model, self.vocab,
+                    cands[i, j, :lens[i, j]], int(lens[i, j]))
             k = int(scores.argmax())
             best_tok[i] = cands[i, k]
             best_len[i] = lens[i, k]

@@ -68,15 +68,14 @@ class CTCTask(BaseTask):
         over the device beam's n-best (scores are length-penalized CTC
         log-probs; ARPA score is log10 over detokenized words, normalized
         like CassNATTask._rank_ngram / reference cassnat.py:521-533)."""
+        from cassnat_asr_public_tpu.utils.ngram_lm import arpa_slot_score
         hyps = []
         for i in range(toks.shape[0]):
             best, best_s = [], -np.inf
             for k in range(toks.shape[1]):
                 hyp = [int(t) for t in toks[i, k, :max(lens[i, k], 0)]]
-                pieces = self.vocab.decode([t for t in hyp if t > 2])
-                sent = "".join(pieces).replace("▁", " ").strip()
-                s = float(scores[i, k]) + lm_w * \
-                    self.lm_model.score(sent) / max(len(hyp) + 1, 1)
+                s = float(scores[i, k]) + lm_w * arpa_slot_score(
+                    self.lm_model, self.vocab, hyp, len(hyp))
                 if s > best_s:
                     best, best_s = hyp, s
             hyps.append(best)

@@ -84,8 +84,9 @@ class LMNATTask(CassNATTask):
         if self.asr_tokenizer is not None:
             pieces = [self.vocab.index2word[int(i)] for i in ids]
             return self.asr_tokenizer.tokens2text(pieces)
-        return "".join(self.vocab.index2word[int(i)]
-                       for i in ids).replace("▁", " ").strip()
+        from cassnat_asr_public_tpu.data.vocab import pieces_to_text
+        return pieces_to_text(
+            self.vocab.index2word[int(i)] for i in ids)
 
     def _host_text_batch(self, hyp_tokens, hyp_lens, pad_to: int = 16):
         """CTC-greedy ids -> detok -> text-encoder ids, padded (bucketed to
@@ -114,19 +115,26 @@ class LMNATTask(CassNATTask):
         """Linear anneal of the schedule-sampling ground-truth probability:
         1 before mix_gt_start_steps, then mix_gt_prob_max -> mix_gt_prob_min
         over mix_gt_steps updates (reference: lmnat_task.py:333-338). Falls
-        back to the static mix_gt_prob when no schedule keys are set."""
+        back to the static mix_gt_prob when no schedule keys are set.
+
+        The reference anneals on OPTIMIZER updates (its step counter
+        increments once per accum_grad micro-batches) while self.state.step
+        counts micro-batches — divide by accum_grad before comparing
+        (same convention as BaseTask.on_train_step)."""
         a = self.args
         start = getattr(a, "mix_gt_start_steps", None)
         if start is None:
             return float(getattr(a, "mix_gt_prob", 0.5))
-        if self.state.step < start:
+        accum = max(getattr(a, "accum_grad", 1), 1)
+        updates = self.state.step // accum
+        if updates < start:
             return 1.0
         pmax = float(getattr(a, "mix_gt_prob_max",
                              getattr(a, "mix_gt_prob", 0.5)))
         pmin = float(getattr(a, "mix_gt_prob_min", 0.0))
         steps = max(int(getattr(a, "mix_gt_steps", 1)), 1)
         return max(pmin,
-                   pmax - (self.state.step - start) * (pmax - pmin) / steps)
+                   pmax - (updates - start) * (pmax - pmin) / steps)
 
     def prepare_batch(self, batch):
         d = super().prepare_batch(batch)

@@ -106,3 +106,13 @@ class ArpaLM:
         words = sentence.split()
         n = len(words) + 1  # + </s>
         return math.pow(10.0, -self.score(sentence) / max(n, 1))
+
+
+def arpa_slot_score(lm: "ArpaLM", vocab, ids, n_slots: int) -> float:
+    """Shared ESA/CTC n-best reranking term: detokenize ASR ids and return
+    the ARPA full-sentence log10 score normalized by the slot count
+    (reference cassnat.py:521-533 — tgt_len counts slots incl. the eos
+    slot, hence the +1)."""
+    from cassnat_asr_public_tpu.data.vocab import pieces_to_text
+    pieces = vocab.decode([t for t in ids if t > 2])
+    return lm.score(pieces_to_text(pieces)) / max(int(n_slots) + 1, 1)

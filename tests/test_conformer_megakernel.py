@@ -38,6 +38,16 @@ err = float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-9))
 assert err < 2e-4, f"layer rel err {err}"
 print("layer ok", err)
 
+# an all-pad row (len 0, e.g. last-row-repeat padding of a partial decode
+# batch) must not NaN the softmax (0/0 guard in _layer_half_a_kernel)
+mask0 = jnp.asarray(np.arange(T)[None, :] <
+                    np.array([T, 0, T - 13])[:, None])
+got0 = conformer_layer_fused(params["params"], x,
+                             mask0.astype(jnp.float32), table, n_head=H,
+                             interpret=True)
+assert bool(jnp.isfinite(got0).all()), "NaN on fully-masked row"
+print("masked-row ok")
+
 # full encode path on a tiny CASS-NAT
 import sys, os
 sys.path.insert(0, os.environ["REPO_ROOT"])

@@ -100,6 +100,17 @@ def test_char_tokenizer():
     assert tok.encode_as_pieces("你 好") == ["你", "好"]
 
 
+def test_pieces_to_text_both_delimiters():
+    """Shared detok handles SentencePiece '▁' AND the char-unit '<space>'
+    marker (aishell/synth vocab_char) — regression for decode_asr writing
+    raw '<space>' tokens into hyp.txt."""
+    from cassnat_asr_public_tpu.data.vocab import pieces_to_text
+    assert pieces_to_text(["▁he", "llo", "▁wor", "ld"]) == "hello world"
+    assert pieces_to_text(["a", "<space>", "b", "c"]) == "a bc"
+    assert pieces_to_text(iter(["▁a"])) == "a"
+    assert pieces_to_text([]) == ""
+
+
 def _args(extra=None):
     base = dict(left_ctx=0, right_ctx=2, skip_frame=1, use_specaug=False,
                 specaug_conf=None, filter_max=10000, filter_min=0,

@@ -197,6 +197,18 @@ def test_mix_gt_schedule_formula():
     # static fallback without schedule keys
     t.args = types.SimpleNamespace(mix_type="utterance", mix_gt_prob=0.7)
     assert abs(t._scheduled_mix_gt() - 0.7) < 1e-9
+    # the anneal counts OPTIMIZER updates, not micro-batches: with
+    # accum_grad=4, micro-step 400 is update 100 (= schedule start)
+    t.args = types.SimpleNamespace(mix_type="utterance", accum_grad=4,
+                                   mix_gt_start_steps=100,
+                                   mix_gt_prob_max=0.9, mix_gt_prob_min=0.3,
+                                   mix_gt_steps=200)
+    t.state = types.SimpleNamespace(step=399)
+    assert t._scheduled_mix_gt() == 1.0
+    t.state.step = 400
+    assert abs(t._scheduled_mix_gt() - 0.9) < 1e-9
+    t.state.step = 800
+    assert abs(t._scheduled_mix_gt() - 0.6) < 1e-9
 
 
 def test_lmnat_mix_gt_prob_override(rng):
