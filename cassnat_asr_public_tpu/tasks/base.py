@@ -168,12 +168,20 @@ class BaseTask:
 
     def load_test_model(self, args):
         path = getattr(args, "resume_model", "")
-        if path and os.path.exists(path):
-            state = ckpt.load_checkpoint(path)
-            self.state.params = ckpt.restore_params(self.state.params,
-                                                    state["params"])
-            if self.rank == 0:
-                print(f"Loaded test model {path}", flush=True)
+        if not path:
+            return
+        if not os.path.exists(path):
+            # decoding with random weights must be impossible to do by
+            # accident (the reference would crash in torch.load here;
+            # reference: base_task.py:45-54)
+            raise FileNotFoundError(
+                f"resume_model {path!r} does not exist — refusing to "
+                "decode with randomly initialized weights")
+        state = ckpt.load_checkpoint(path)
+        self.state.params = ckpt.restore_params(self.state.params,
+                                                state["params"])
+        if self.rank == 0:
+            print(f"Loaded test model {path}", flush=True)
 
     def shard_decode_batch(self, batch) -> Dict:
         """numpy decode batch -> device arrays, sharded over the mesh's

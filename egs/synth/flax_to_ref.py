@@ -20,6 +20,17 @@ REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
 sys.path.insert(0, REPO)
 
 
+def _test_paths(data_dir):
+    """Loader paths for the test split of a (possibly *_hard variant)
+    synth data dir — data_dir is authoritative, not conf/data.yaml."""
+    return [dict(
+        name="test",
+        scp_path=os.path.join(data_dir, "fbank", "test", "feats.scp"),
+        text_label=os.path.join(data_dir, "test", "token_char.scp"),
+        utt2num_frames=os.path.join(data_dir, "fbank", "test",
+                                    "utt2num_frames"))]
+
+
 def _import_ref():
     import torch  # noqa: F401
     for k in [k for k in sys.modules
@@ -274,11 +285,9 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
                                                       SpeechDataLoader)
     dcfg = merge_configs(None, f"{here}/conf/cassnat_train.yaml",
                          f"{here}/conf/data.yaml")
-    for p in ("train_paths", "dev_paths", "test_paths"):
-        for d in getattr(dcfg, p):
-            for k in d:
-                if k != "name":
-                    d[k] = os.path.join(here, d[k])
+    # data_dir is authoritative (it may be a *_hard variant twin); the
+    # yaml only supplies loader/bucket knobs
+    dcfg.test_paths = _test_paths(data_dir)
     test_ds = SpeechDataset(vocab, dcfg.test_paths, dcfg)
     test_ds.load_cmvn(os.path.join(data_dir, "fbank", "cmvn.ark"))
     loader = SpeechDataLoader(test_ds, 8, padding_idx=0, shuffle=False,
@@ -321,11 +330,15 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
 
 def reference_ar_decode(exp_dir, data_dir, here, lm_weight=0.0,
                         beam_width=10, ctc_beam=15, ctc_weight=0.4,
-                        length_penalty=0.0, lm_exp=None, lm_layers=2):
-    """Decode the synth test set with the REFERENCE AST-Conformer
-    beam_decode (joint CTC-prefix scoring + optional LM shallow fusion;
-    reference src/models/transformer.py:122-241) on transplanted trained
-    weights, over byte-identical batches from the repo's own loader."""
+                        length_penalty=0.0, lm_exp=None, lm_layers=2,
+                        decode_type="ctc_att"):
+    """Decode the synth test set with the REFERENCE AST-Conformer on
+    transplanted trained weights, over byte-identical batches from the
+    repo's own loader. decode_type 'ctc_att' runs beam_decode (joint
+    CTC-prefix scoring + optional LM shallow fusion; reference
+    src/models/transformer.py:122-241); 'ctc_correct' runs
+    fast_decode_with_ctc (single corrective decoder pass + per-position
+    beam; reference transformer.py:243-342)."""
     import torch
     from cassnat_asr_public_tpu.utils import checkpoint as ckpt
     from cassnat_asr_public_tpu.utils.config import merge_configs
@@ -366,11 +379,7 @@ def reference_ar_decode(exp_dir, data_dir, here, lm_weight=0.0,
                                                       SpeechDataLoader)
     dcfg = merge_configs(None, f"{here}/conf/ast_train.yaml",
                          f"{here}/conf/data.yaml")
-    for p in ("train_paths", "dev_paths", "test_paths"):
-        for d in getattr(dcfg, p):
-            for k in d:
-                if k != "name":
-                    d[k] = os.path.join(here, d[k])
+    dcfg.test_paths = _test_paths(data_dir)
     test_ds = SpeechDataset(vocab, dcfg.test_paths, dcfg)
     test_ds.load_cmvn(os.path.join(data_dir, "fbank", "cmvn.ark"))
     loader = SpeechDataLoader(test_ds, 8, padding_idx=0, shuffle=False,
@@ -384,9 +393,14 @@ def reference_ar_decode(exp_dir, data_dir, here, lm_weight=0.0,
         src = np.asarray(batch["feats"], np.float32)
         x_mask = np.asarray(batch["src_mask"], bool)[:, None, :]
         with torch.no_grad():
-            seqs = model.beam_decode(torch.tensor(src),
-                                     torch.tensor(x_mask), vocab, ns,
-                                     lm_model=lm_model)
+            if decode_type == "ctc_correct":
+                seqs = model.fast_decode_with_ctc(
+                    torch.tensor(src), torch.tensor(x_mask), vocab, ns,
+                    lm_model=lm_model)
+            else:
+                seqs = model.beam_decode(torch.tensor(src),
+                                         torch.tensor(x_mask), vocab, ns,
+                                         lm_model=lm_model)
         for i, u in enumerate(chunk):
             # reference hyp handling (src/tasks/art_task.py:261-269):
             # skip sos/pad, BREAK at first eos

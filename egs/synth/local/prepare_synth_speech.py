@@ -32,22 +32,29 @@ PHONES = {
 LETTERS = sorted(PHONES)
 
 
-def make_lexicon(rng, n_words=40):
+def make_lexicon(rng, n_words=40, max_len=5, confusable=False):
     words, seen = [], set()
     while len(words) < n_words:
-        n = int(rng.integers(2, 5))
-        w = "".join(rng.choice(LETTERS) for _ in range(n))
+        if confusable and words and len(words) % 2:
+            # minimal pair: mutate ONE letter of an existing word, so the
+            # lexicon is dense with near-homophones and ranking matters
+            base = list(words[int(rng.integers(len(words)))])
+            base[int(rng.integers(len(base)))] = str(rng.choice(LETTERS))
+            w = "".join(base)
+        else:
+            n = int(rng.integers(2, max_len))
+            w = "".join(rng.choice(LETTERS) for _ in range(n))
         if w not in seen:
             seen.add(w)
             words.append(w)
     return words
 
 
-def synth_word(word, rng, pitch, tempo):
+def synth_word(word, rng, pitch, tempo, dur_lo=0.07, dur_hi=0.13):
     segs = []
     for ch in word:
         f1, f2 = PHONES[ch]
-        dur = float(rng.uniform(0.07, 0.13)) * tempo
+        dur = float(rng.uniform(dur_lo, dur_hi)) * tempo
         t = np.arange(int(dur * SR)) / SR
         # slight in-phone glide + harmonics for realism
         glide = 1.0 + 0.02 * np.sin(2 * np.pi * 3 * t)
@@ -76,10 +83,22 @@ def main():
     p.add_argument("--n_train", type=int, default=1200)
     p.add_argument("--n_eval", type=int, default=150)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hard", action="store_true",
+                   help="200-word confusable lexicon (minimal pairs), "
+                        "shorter phones, wider pitch/tempo jitter, 2x "
+                        "noise — the model does NOT saturate at 0%% WER, "
+                        "so ranking/preselection quality is measurable")
     args = p.parse_args()
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    lex = make_lexicon(rng)
+    if args.hard:
+        lex = make_lexicon(rng, n_words=200, max_len=6, confusable=True)
+        dur = dict(dur_lo=0.055, dur_hi=0.1)
+        pitch_rng, tempo_rng, noise = (0.82, 1.2), (0.78, 1.22), 0.03
+    else:
+        lex = make_lexicon(rng)
+        dur = {}
+        pitch_rng, tempo_rng, noise = (0.88, 1.12), (0.85, 1.15), 0.015
     with open(os.path.join(args.out, "lexicon.txt"), "w") as f:
         f.write("\n".join(lex) + "\n")
     for split, n in [("train", args.n_train), ("dev", args.n_eval),
@@ -91,19 +110,19 @@ def main():
                 open(os.path.join(d, "text"), "w") as txt:
             for i in range(n):
                 utt = f"{split}_{i:04d}"
-                pitch = float(rng.uniform(0.88, 1.12))
-                tempo = float(rng.uniform(0.85, 1.15))
+                pitch = float(rng.uniform(*pitch_rng))
+                tempo = float(rng.uniform(*tempo_rng))
                 words = [str(rng.choice(lex))
                          for _ in range(int(rng.integers(3, 9)))]
                 sil = lambda: np.zeros(int(rng.uniform(0.04, 0.1) * SR))
                 parts = [sil()]
                 for w in words:
-                    parts.append(synth_word(w, rng, pitch, tempo))
+                    parts.append(synth_word(w, rng, pitch, tempo, **dur))
                     parts.append(sil())
                 sig = np.concatenate(parts)
                 sig = sig * float(rng.uniform(0.5, 0.9)) / (
                     np.abs(sig).max() + 1e-6)
-                sig = sig + rng.normal(scale=0.015, size=sig.shape)
+                sig = sig + rng.normal(scale=noise, size=sig.shape)
                 path = os.path.abspath(os.path.join(wav_dir, utt + ".wav"))
                 write_wav(path, sig)
                 scp.write(f"{utt} {path}\n")

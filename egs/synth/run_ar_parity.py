@@ -79,6 +79,12 @@ DECODE_MODES = {
                            **BEAM),
     "ast_ctc_correct": dict(decode_type="ctc_correct", lm_weight=0.0,
                             beam_width=1),
+    "ast_ctc_correct_beam": dict(decode_type="ctc_correct",
+                                 lm_weight=LM_WEIGHT,
+                                 lm_config=f"{HERE}/conf/lm.yaml",
+                                 rnnlm=os.path.join(LM_EXP,
+                                                    "best_model.ckpt"),
+                                 beam_width=10, length_penalty=0.0),
 }
 
 
@@ -119,10 +125,19 @@ def stage_reference():
     if os.path.exists(f"{HERE}/ar_reference_results.json"):
         with open(f"{HERE}/ar_reference_results.json") as f:
             out = json.load(f)
+    only = os.environ.get("CASSNAT_PARITY_MODES")
+    only = set(only.split(",")) if only else None
     for name, kw in (
             ("reference_ar_beam", dict(lm_weight=0.0, **BEAM)),
             ("reference_ar_beam_lm", dict(lm_weight=LM_WEIGHT, lm_exp=LM_EXP,
-                                          **BEAM))):
+                                          **BEAM)),
+            ("reference_ctc_correct", dict(decode_type="ctc_correct",
+                                           lm_weight=0.0, beam_width=1)),
+            ("reference_ctc_correct_beam",
+             dict(decode_type="ctc_correct", lm_weight=LM_WEIGHT,
+                  lm_exp=LM_EXP, beam_width=10, length_penalty=0.0))):
+        if only and name not in only:
+            continue
         hyps = reference_ar_decode(AST_EXP, DATA, HERE, **kw)
         rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
         out[name] = rep

@@ -33,10 +33,23 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
 sys.path.insert(0, REPO)
-DATA = os.path.join(HERE, "data")
-EXP = os.path.join(HERE, "exp", "cassnat")
-LM_EXP = os.path.join(HERE, "exp", "lm")
-REPORT = os.path.join(REPO, "WER_PARITY.md")
+# CASSNAT_SYNTH_VARIANT=hard switches every artifact path to a *_hard twin
+# (200-word confusable lexicon, stronger noise/jitter — see
+# local/prepare_synth_speech.py --hard) so the speed/quality ladder
+# (esa_topk / esa_rank_topm) is validated where ranking actually matters,
+# not on a saturated-at-0%-WER task.
+VARIANT = os.environ.get("CASSNAT_SYNTH_VARIANT", "")
+S = f"_{VARIANT}" if VARIANT else ""
+DATA = os.path.join(HERE, f"data{S}")
+EXP = os.path.join(HERE, "exp", f"cassnat{S}")
+LM_EXP = os.path.join(HERE, "exp", f"lm{S}")
+REPORT = os.path.join(REPO, f"WER_PARITY{S.upper()}.md")
+DATA_YAML = os.path.join(HERE, "conf", f"data{S}.yaml")
+LM_YAML = os.path.join(HERE, "conf", f"lm{S}.yaml")
+DECODE_RESULTS = os.path.join(HERE, f"decode_results{S}.json")
+EMISSION_STATS = os.path.join(HERE, f"emission_stats{S}.json")
+REFERENCE_RESULTS = os.path.join(HERE, f"reference_results{S}.json")
+HYP_DIR = os.path.join(HERE, f"decode_hyps{S}")
 SPACE = "<space>"
 
 
@@ -73,7 +86,23 @@ def pieces_to_words(pieces):
 
 
 def stage_data():
-    sh([sys.executable, "local/prepare_synth_speech.py", "--out", DATA])
+    cmd = [sys.executable, "local/prepare_synth_speech.py", "--out", DATA]
+    if VARIANT == "hard":
+        cmd.append("--hard")
+    sh(cmd)
+    # variant data config: same keys as conf/data.yaml, pointing at the
+    # variant's data dir (relative to egs/synth, like the base config)
+    rel = os.path.basename(DATA)
+    with open(DATA_YAML, "w") as f:
+        f.write(f"vocab_file: {rel}/dict/vocab_char.txt\n"
+                f"global_cmvn: {rel}/fbank/cmvn.ark\n\n")
+        for split in ("train", "dev", "test"):
+            f.write(f"{split}_paths:\n"
+                    f"  - name: {split}\n"
+                    f"    scp_path: {rel}/fbank/{split}/feats.scp\n"
+                    f"    text_label: {rel}/{split}/token_char.scp\n"
+                    f"    utt2num_frames: {rel}/fbank/{split}/"
+                    f"utt2num_frames\n\n")
 
 
 def stage_features():
@@ -110,7 +139,7 @@ def stage_tokens():
 def stage_lm():
     # char-LM corpus = the tokenized training transcripts (utt-id format)
     os.makedirs(LM_EXP, exist_ok=True)
-    with open(f"{HERE}/conf/lm.yaml", "w") as f:
+    with open(LM_YAML, "w") as f:
         f.write(f"""model_type: uniLM
 N: 2
 d_model: 128
@@ -134,23 +163,22 @@ dev_text: {DATA}/dev/token_char.scp
 vocab_file: {DATA}/dict/vocab_char.txt
 """)
     sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.lm_train",
-        "--exp_dir", LM_EXP, "--train_config", f"{HERE}/conf/lm.yaml",
-        "--data_config", f"{HERE}/conf/lm.yaml",
+        "--exp_dir", LM_EXP, "--train_config", LM_YAML,
+        "--data_config", LM_YAML,
         "--optim_type", "normal", "--epochs", "25", "--task", "lm"])
 
 
 def stage_train():
     sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.train_asr",
         "--exp_dir", EXP, "--train_config", f"{HERE}/conf/cassnat_train.yaml",
-        "--data_config", f"{HERE}/conf/data.yaml",
+        "--data_config", DATA_YAML,
         "--optim_type", "noam", "--epochs", "40", "--task", "cassnat"])
 
 
 def _load_task(decode_overrides):
     from cassnat_asr_public_tpu.tasks import TASKS
     from cassnat_asr_public_tpu.utils.config import merge_configs
-    cfg = merge_configs(None, f"{HERE}/conf/cassnat_train.yaml",
-                        f"{HERE}/conf/data.yaml")
+    cfg = merge_configs(None, f"{HERE}/conf/cassnat_train.yaml", DATA_YAML)
     for p in ("train_paths", "dev_paths", "test_paths"):
         for d in getattr(cfg, p):
             for k in d:
@@ -211,16 +239,16 @@ def stage_decode():
     only = os.environ.get("CASSNAT_PARITY_MODES")
     only = set(only.split(",")) if only else None
     results = {}
-    if only and os.path.exists(f"{HERE}/decode_results.json"):
-        with open(f"{HERE}/decode_results.json") as f:
+    if only and os.path.exists(DECODE_RESULTS):
+        with open(DECODE_RESULTS) as f:
             results = json.load(f)
-    hyp_dir = f"{HERE}/decode_hyps"
+    hyp_dir = HYP_DIR
     os.makedirs(hyp_dir, exist_ok=True)
     for mode, over in DECODE_MODES.items():
         if only and mode not in only:
             continue
         if over.get("rank_model") == "lm":
-            over = dict(over, lm_config=f"{HERE}/conf/lm.yaml",
+            over = dict(over, lm_config=LM_YAML,
                         rnnlm=os.path.join(LM_EXP, "best_model.ckpt"))
         task, cfg = _load_task(over)
         t0 = time.time()
@@ -235,7 +263,7 @@ def stage_decode():
         print(f"[{mode}] WER {rep['wer']:.2f}% "
               f"({rep['n_words']} words)", flush=True)
         del task
-    with open(f"{HERE}/decode_results.json", "w") as f:
+    with open(DECODE_RESULTS, "w") as f:
         json.dump(results, f, indent=1)
     # dedup / two-phase must not change the ESA output (same decode seed)
     assert abs(results["esa_lm_50"]["wer"]
@@ -297,7 +325,7 @@ def stage_stats():
         "sample_num": sample_num,
     }
     print(json.dumps(stats, indent=1))
-    with open(f"{HERE}/emission_stats.json", "w") as f:
+    with open(EMISSION_STATS, "w") as f:
         json.dump(stats, f, indent=1)
 
 
@@ -316,22 +344,29 @@ def stage_reference():
         rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
         out[name] = rep
         print(f"[{name}] WER {rep['wer']:.2f}%", flush=True)
-    with open(f"{HERE}/reference_results.json", "w") as f:
+    with open(REFERENCE_RESULTS, "w") as f:
         json.dump(out, f, indent=1)
 
 
 def stage_report():
-    res = json.load(open(f"{HERE}/decode_results.json"))
-    stats = json.load(open(f"{HERE}/emission_stats.json"))
+    res = json.load(open(DECODE_RESULTS))
+    stats = json.load(open(EMISSION_STATS))
     try:
-        ref_res = json.load(open(f"{HERE}/reference_results.json"))
+        ref_res = json.load(open(REFERENCE_RESULTS))
     except FileNotFoundError:
         ref_res = {}
+    lex_desc = ("200-word CONFUSABLE lexicon (minimal pairs), wider "
+                "pitch/tempo jitter, 2x noise" if VARIANT == "hard"
+                else "40-word lexicon")
+    title = "# WER parity: repo vs reference on identical audio + weights"
+    if VARIANT:
+        title += f" ({VARIANT} variant)"
     lines = [
-        "# WER parity: repo vs reference on identical audio + weights",
+        title,
         "",
-        "Setup: learnable synthetic speech (14-phone toy language, 40-word",
-        "lexicon, speaker pitch/tempo/noise variation; "
+        f"Setup: learnable synthetic speech (14-phone toy language, "
+        f"{lex_desc},",
+        "speaker pitch/tempo/noise variation; "
         "`egs/synth/local/prepare_synth_speech.py`) — the image has no real",
         "speech and zero egress. A small conformer CASS-NAT"
         " (6 enc / 1 extra / 2 SAD / 1 MAD, d144) is trained IN THIS REPO",
@@ -347,12 +382,12 @@ def stage_report():
     ]
     # hypothesis-identity vs the full-50 ESA decode, from the saved hyps
     identity = {}
-    full_fp = f"{HERE}/decode_hyps/esa_lm_50.json"
+    full_fp = f"{HYP_DIR}/esa_lm_50.json"
     if os.path.exists(full_fp):
         with open(full_fp) as f:
             base_h = json.load(f)
         for mode in res:
-            fp = f"{HERE}/decode_hyps/{mode}.json"
+            fp = f"{HYP_DIR}/{mode}.json"
             if mode.startswith(("esa_lm_topk", "esa_lm_topm")) and \
                     os.path.exists(fp):
                 with open(fp) as f:
@@ -368,10 +403,12 @@ def stage_report():
                      "same weights, same audio |")
     # AR (AST) arm, produced by run_ar_parity.py on its own trained
     # AST-Conformer — merged here so WER_PARITY.md stays single-source
+    # (base variant only; the AR arm isn't retrained per-variant)
     try:
+        assert not VARIANT
         ar_res = json.load(open(f"{HERE}/ar_results.json"))
         ar_ref = json.load(open(f"{HERE}/ar_reference_results.json"))
-    except FileNotFoundError:
+    except (FileNotFoundError, AssertionError):
         ar_res, ar_ref = {}, {}
     if ar_res:
         lines += [
@@ -396,14 +433,24 @@ def stage_report():
         "",
         "`esa_lm_50_dedup` is asserted equal to `esa_lm_50` (exact dedup),",
         "and `esa_lm_50_2phase` as well (two-phase unique-candidate decode).",
-        "Speed/quality ladder conclusions (drive bench.py's metric choices):",
-        "`esa_topk` (CTC-path preselection before the NAT) dominates —",
-        "K=16 is hypothesis-identical to the full 50-candidate decode and is",
-        "the primary bench config; K=8 flips one utterance (0.12 abs, inside",
-        "the 0.2 north-star bound). Two-stage ranking (`esa_rank_topm`:",
-        "NAT-confidence prescreen before the LM) is implemented but weaker",
-        "at equal cost: topm4 flips 7 utts (0.85%), topk16+topm8 matches",
-        "topk8's 0.12% while doing 2x the NAT work — so it ships default-off.",
+    ]
+    if not VARIANT:
+        lines += [
+            "Speed/quality ladder conclusions (drive bench.py's metric "
+            "choices):",
+            "`esa_topk` (CTC-path preselection before the NAT) dominates —",
+            "K=16 is hypothesis-identical to the full 50-candidate decode "
+            "and is",
+            "the primary bench config; K=8 flips one utterance (0.12 abs, "
+            "inside",
+            "the 0.2 north-star bound). Two-stage ranking (`esa_rank_topm`:",
+            "NAT-confidence prescreen before the LM) is implemented but "
+            "weaker",
+            "at equal cost: topm4 flips 7 utts (0.85%), topk16+topm8 matches",
+            "topk8's 0.12% while doing 2x the NAT work — so it ships "
+            "default-off.",
+        ]
+    lines += [
         "",
         "## Trained-model emission statistics (feeds bench.py profiles)",
         "",

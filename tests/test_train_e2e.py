@@ -179,3 +179,19 @@ def test_fix_encoder_freeze_mask():
     assert np.allclose(p["src_embed"]["w"], 1.0)     # frozen
     assert np.allclose(p["ctc_generator"]["w"], 1.0) # frozen
     assert np.allclose(p["decoder"]["w"], 0.0)       # trained
+
+
+def test_load_test_model_missing_ckpt_raises():
+    """Decoding with random weights must be impossible by accident: a
+    test-mode task with a nonexistent resume_model must fail loudly
+    (regression: a wiped exp dir silently decoded a random AST)."""
+    import types
+
+    import pytest
+
+    from cassnat_asr_public_tpu.tasks.base import BaseTask
+
+    t = BaseTask.__new__(BaseTask)
+    with pytest.raises(FileNotFoundError):
+        t.load_test_model(
+            types.SimpleNamespace(resume_model="/nonexistent/model.ckpt"))
