@@ -9,6 +9,8 @@ the identity over the shared SP vocab); GPT-2/BERT tokenization happens
 host-side per batch via the detok->retok hop and is fed as `text_input`.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,20 +156,46 @@ class LMNATTask(CassNATTask):
             d["mix_gt_prob"] = np.float32(self._scheduled_mix_gt())
         return d
 
+    def load_model(self, args):
+        """Fresh starts without an AST resume_model must still honor
+        text_encoder_path (the reference inits the text encoder from its
+        own checkpoint independently of the encoder init,
+        lmnat_task.py:119-130); resuming from model.last.ckpt keeps the
+        text encoder from that checkpoint."""
+        resumed = os.path.exists(os.path.join(args.exp_dir,
+                                              "model.last.ckpt"))
+        super().load_model(args)
+        if self.mode == "train" and not resumed and \
+                not getattr(args, "resume_model", ""):
+            self._load_text_encoder(args)
+
     def load_pretrained_model(self, args):
         """AST encoder init (gated by init_encoder, via super) + optional
         pretrained text encoder gated by init_text_encoder — LMNAT3 spells
         it init_sad (reference: lmnat_task.py:99-147, lmnat3_task.py:83-102)."""
         super().load_pretrained_model(args)
+        self._load_text_encoder(args)
+
+    def _load_text_encoder(self, args):
         init_te = getattr(args, "init_sad", None) if self.variant == \
             "lmnat3" else None
         if init_te is None:
             init_te = getattr(args, "init_text_encoder", True)
         te_path = getattr(args, "text_encoder_path", "")
         if te_path and init_te:
+            from flax import serialization
             state = ckpt.load_checkpoint(te_path)
+            src = serialization.to_state_dict(state["params"])
+            inner = src.get("params", src)
+            if "text_encoder" not in inner:
+                # A standalone LM checkpoint (bin/lm_train) has the backbone
+                # at its top level (embed/layer{i}/norm/generator); re-root
+                # it under the LMNAT submodule name so the transplant maps
+                # onto self.text_encoder (reference loads the LM state dict
+                # directly into model.text_encoder, lmnat_task.py:119-130).
+                src = {"text_encoder": inner}
             self.state.params = ckpt.transplant_subtrees(
-                self.state.params, state["params"], ("text_encoder",))
+                self.state.params, src, ("text_encoder",))
             if self.rank == 0:
                 print(f"Loaded text encoder from {te_path}", flush=True)
 

@@ -250,3 +250,67 @@ def test_lmnat_use_esa_for_text_encoder_flag(rng):
     # both paths decode; shapes agree (semantic difference only shows on a
     # trained model, but the flag must at least select a runnable path)
     assert outs[True].shape == outs[False].shape
+
+
+def test_lmnat_text_encoder_transplant_copies_weights(tmp_path, rng):
+    """text_encoder_path with a standalone LM checkpoint (bin/lm_train
+    layout: embed/layer{i}/norm/generator at the top level) must actually
+    land inside the LMNAT text_encoder submodule (reference:
+    lmnat_task.py:119-130 loads the LM state dict into model.text_encoder).
+    Regression: the transplant used to look for a 'text_encoder' key in the
+    LM checkpoint and silently copy nothing."""
+    import os
+
+    from flax import serialization
+
+    from cassnat_asr_public_tpu.tasks import LMNATTask, LMTask
+    from cassnat_asr_public_tpu.utils import checkpoint as ck
+    from cassnat_asr_public_tpu.utils.config import Config
+    from tests.test_data import make_toy_corpus
+    from tests.test_train_e2e import e2e_args
+
+    dp, vocab_file, _ = make_toy_corpus(str(tmp_path), rng=rng)
+    lm_args = Config(
+        exp_dir=os.path.join(str(tmp_path), "exp_lm"), task="lm",
+        vocab_file=vocab_file, vocab_size=8, N=2, d_model=16, d_ff=64,
+        n_head=2, dropout=0.0, padding_idx=0, lm_type="uniLM", max_len=64,
+        batch_size=4, optim_type="noam", noam_factor=0.02, warmup_steps=5,
+        total_steps=100, warmup_type="noam_warmup", learning_rate=1e-3,
+        weight_decay=0.0, grad_clip=5.0, accum_grad=1,
+        epochs=1, start_saving_epoch=0, end_patience=10, seed=0,
+        print_freq=1000, resume_model="", model_parallel=1,
+        train_text=dp["text_label"], dev_text=dp["text_label"])
+    lm = LMTask("train", lm_args)
+    lm.save_checkpoint("best_model.ckpt", 0)
+    lm_ckpt = os.path.join(lm_args.exp_dir, "best_model.ckpt")
+
+    args = e2e_args(tmp_path, "lmnat", rng,
+                    exp_dir=os.path.join(str(tmp_path), "exp_lmnat"),
+                    text_encoder_type="lm", text_encoder_layers=2,
+                    d_text=16, text_vocab_size=8,
+                    # fresh start, no AST resume_model: text_encoder_path
+                    # alone must trigger the transplant (second regression)
+                    text_encoder_path=lm_ckpt)
+    task = LMNATTask("train", args)
+
+    lm_p = serialization.to_state_dict(lm.state.params)["params"]
+    nat_p = serialization.to_state_dict(task.state.params)["params"]
+    te = nat_p["text_encoder"]
+    # the fusion text encoder has no LM generator head (extract_features
+    # only); every backbone subtree must have been transplanted
+    assert {"embed", "layer0", "layer1", "norm"} <= set(te), sorted(te)
+    def leaves(d, prefix=()):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                yield from leaves(v, prefix + (k,))
+        else:
+            yield prefix, np.asarray(d)
+
+    lm_leaves = dict(leaves(lm_p))
+    n_checked = 0
+    for path, te_val in leaves(te):
+        if path in lm_leaves and lm_leaves[path].shape == te_val.shape:
+            np.testing.assert_array_equal(te_val, lm_leaves[path],
+                                          err_msg=str(path))
+            n_checked += 1
+    assert n_checked >= 10, n_checked  # embed + 2 layers + norm leaves
