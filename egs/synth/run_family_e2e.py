@@ -224,7 +224,13 @@ def _score(key, hyps):
 
 def stage_ft():
     data_yaml = _sub_data_yaml()
-    train_yaml = f"{HERE}/conf/cassnat_train.yaml"
+    # YAML wins over CLI flags (reference resolution order), so the reduced
+    # epoch budget must live in a derived train config, not in --epochs
+    base = open(f"{HERE}/conf/cassnat_train.yaml").read()
+    train_yaml = _write_yaml(
+        f"{HERE}/conf/cassnat_sub.yaml",
+        base + f"\n# low-resource fine-tune budget (duplicate keys: last"
+               f" wins)\nepochs: {FT_EPOCHS}\nstart_saving_epoch: 0\n")
     runs = {
         "ft_scratch": "",
         "ft_ssl_init": os.path.join(SSL_EXP, "best_model.ckpt"),
@@ -257,7 +263,8 @@ mix_type: "none"
                             "plm_alpha: 0.3\nacoustic_mask_prob: 0.2\n"
                             "acoustic_mask_length: 3\n")):
         cfg = _write_yaml(f"{HERE}/conf/{variant}_train.yaml",
-                          base + text_keys + extra)
+                          base + text_keys + extra +
+                          "epochs: 25\nstart_saving_epoch: 20\n")
         exp = os.path.join(HERE, "exp", variant)
         if not os.path.exists(os.path.join(exp, "best_model.ckpt")):
             _train_cli(variant, exp, cfg, f"{HERE}/conf/data.yaml", 25)
