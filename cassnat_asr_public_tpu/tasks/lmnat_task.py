@@ -208,10 +208,14 @@ class LMNATTask(CassNATTask):
                       "text_mask": batch["text_mask"]}
         if train and "mix_gt_prob" in batch and self.variant != "lmnat3":
             kwargs["mix_gt_prob"] = batch["mix_gt_prob"]
-        return self.model.apply(
+        out = self.model.apply(
             params, batch["feats"], batch["src_mask"], tgt_label,
             batch["label_sizes"], sample_topk=sample_topk,
             deterministic=not train, rngs=rngs if train else {}, **kwargs)
+        # in-graph greedy WER counts (pops the big ctc/att logits so the
+        # jitted step returns only scalars; CtcWer/AttWer meters were
+        # silently 0 without this — inherited metric_keys expect *_errs)
+        return self.attach_wer_metrics(out, batch)
 
     def _decode_text_kwargs(self, feats, mask):
         """GPT-2/BERT decode: text from the CTC greedy hypothesis, host

@@ -31,6 +31,8 @@ Run from egs/synth:  python run_family_e2e.py [--stage N] [--end_stage M]
 import argparse
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
@@ -46,8 +48,11 @@ SUB = os.path.join(DATA, "train_sub")
 SSL_EXP = os.path.join(HERE, "exp", "wav2vec")
 RESULTS = os.path.join(HERE, "family_results.json")
 REPORT = os.path.join(REPO, "FAMILY_E2E.md")
-SUBSET_N = 300
-FT_EPOCHS = 12
+# 100 labeled utts: small enough that from-scratch training degrades and
+# SSL-init sensitivity is measurable (at 300 utts scratch already reaches
+# ~1.6% WER and the comparison saturates)
+SUBSET_N = 100
+FT_EPOCHS = 30
 
 # encoder shape must match conf/cassnat_train.yaml exactly so the SSL
 # checkpoint transplants into the CASS-NAT (src_embed + encoder subtrees)
@@ -106,6 +111,12 @@ def stage_subset():
 
 
 def stage_ssl():
+    # Anti-collapse tuning for the ~3k-step budget (first attempt collapsed
+    # to code_ppl 2: temp hit its 0.5 floor within 700 steps and the 0.1
+    # diversity weight could not resist once neg_is_pos masking made the
+    # contrastive loss trivially 0). Slower anneal keeps the quantizer soft
+    # for the whole run; the stronger diversity weight mirrors scaling the
+    # reference's 0.1 from its 400k-update schedule down to this budget.
     cfg = _write_yaml(f"{HERE}/conf/wav2vec_train.yaml", ENC + """
 mask_prob: 0.65
 mask_length: 5
@@ -115,8 +126,8 @@ final_dim: 64
 quantize_targets: True
 latent_vars: 64
 latent_groups: 2
-latent_temp: [2.0, 0.5, 0.999]
-loss_weights: [0.1]
+latent_temp: [2.0, 0.5, 0.9995]
+loss_weights: [1.0]
 dropout_input: 0.1
 dropout_features: 0.1
 
@@ -137,17 +148,30 @@ grad_clip: 5
 accum_grad: 1
 weight_decay: 0
 eps: 1.0e-9
-epochs: 20
-start_saving_epoch: 15
+epochs: 40
+start_saving_epoch: 30
 end_patience: 40
 print_freq: 50
 seed: 0
 compute_dtype: bfloat16
 """)
-    sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.train_ssl",
-        "--exp_dir", SSL_EXP, "--train_config", cfg,
-        "--data_config", f"{HERE}/conf/data.yaml",
-        "--optim_type", "noam", "--epochs", "20", "--task", "wav2vec"])
+    log_path = os.path.join(SSL_EXP, "train.log")
+    os.makedirs(SSL_EXP, exist_ok=True)
+    with open(log_path, "w") as lf:
+        sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.train_ssl",
+            "--exp_dir", SSL_EXP, "--train_config", cfg,
+            "--data_config", f"{HERE}/conf/data.yaml",
+            "--optim_type", "noam", "--epochs", "40", "--task", "wav2vec"],
+           stdout=lf, stderr=subprocess.STDOUT)
+    # record codebook health from the final valid epoch line
+    diag = {}
+    for line in open(log_path):
+        m = re.search(r"Valid acc: ([\d.]+).*Valid code_ppl: ([\d.]+)", line)
+        if m:
+            diag = {"valid_acc": float(m.group(1)),
+                    "valid_code_ppl": float(m.group(2))}
+    if diag:
+        _put("ssl_pretrain", diag)
 
 
 def _sub_data_yaml():
@@ -394,6 +418,12 @@ def stage_report():
     for k in ("ft_scratch", "ft_ssl_init"):
         if k in res:
             lines.append(f"| {k} | {res[k]['wer']:.2f} |")
+    if "ssl_pretrain" in res:
+        d = res["ssl_pretrain"]
+        lines += ["", f"SSL codebook health at the final epoch: valid "
+                  f"InfoNCE accuracy {d['valid_acc']:.3f}, code perplexity "
+                  f"{d['valid_code_ppl']:.1f} of 128 codewords (collapse "
+                  "would read ~1.0 / ~2)."]
     lines += [
         "",
         "## LMNAT family (text-encoder fusion; synth char-LM as encoder)",

@@ -314,3 +314,29 @@ def test_lmnat_text_encoder_transplant_copies_weights(tmp_path, rng):
                                           err_msg=str(path))
             n_checked += 1
     assert n_checked >= 10, n_checked  # embed + 2 layers + norm leaves
+
+
+def test_lmnat_task_loss_fn_emits_wer_counters():
+    """LMNATTask.loss_fn must attach in-graph greedy WER counts and pop the
+    big logits (regression: CtcWer/AttWer meters were silently 0 because
+    the inherited metric_keys expect *_errs the model output lacked)."""
+    from cassnat_asr_public_tpu.tasks.lmnat_task import LMNATTask
+
+    rng = np.random.default_rng(3)
+    model, params, feats, src_mask = _tiny_lmnat(make_lmnat, rng)
+    _, _, labels, label_sizes = batch(rng)
+
+    task = object.__new__(LMNATTask)
+    task.model = model
+    task.variant = "lmnat"
+    task.args = tiny_args(sample_topk=0)
+    b = {"feats": feats, "src_mask": src_mask, "labels": labels,
+         "label_sizes": label_sizes}
+    out = task.loss_fn(params, b, {}, train=False)
+    for k in ("ctc_errs", "ctc_tokens", "att_errs", "att_tokens"):
+        assert k in out, k
+    # big logits must not escape the jitted step
+    for k in ("ctc_out", "att_out", "feat_sizes"):
+        assert k not in out, k
+    # untrained model: greedy WER should be ~100%, definitely not zero
+    assert int(out["ctc_errs"]) > 0
