@@ -76,7 +76,8 @@ class ArtTask(BaseTask):
                    "att_errs", "att_tokens")
 
     def epoch_metric(self, valid_meters):
-        return valid_meters["att_wer"].avg
+        m = valid_meters["att_wer"]
+        return m.avg if m.count else float("inf")
 
     # ---- decoding (reference: art_task.py:233-277) ----
     # load_lm_model inherited from BaseTask (transformer fusion LM)

@@ -55,9 +55,36 @@ class CassNATTask(BaseTask):
             lbl, ls, deterministic=False)
         self.state = TrainState(params, None)
 
+    def _optim_encoder_subtrees(self, args):
+        """Subtrees forming the 'pretrained encoder' optimizer group.
+
+        Default is the AST-init set (reference cassnat_task.py:62-83). When
+        initializing from a checkpoint that lacks some of them — e.g. a
+        wav2vec SSL checkpoint has no ctc_generator — only the subtrees the
+        checkpoint actually provides go in the slow/frozen group, so fresh
+        heads keep the fast schedule (fairseq freeze_finetune_updates
+        semantics for SSL fine-tuning). Override explicitly with the
+        encoder_group_subtrees config key."""
+        sub = getattr(args, "encoder_group_subtrees", None)
+        if sub:
+            return tuple(sub)
+        path = getattr(args, "resume_model", "")
+        resumed = os.path.exists(os.path.join(args.exp_dir,
+                                              "model.last.ckpt"))
+        if path and not resumed and os.path.exists(path):
+            from flax import serialization
+            state = ckpt.load_checkpoint(path)
+            src = serialization.to_state_dict(state["params"])
+            inner = src.get("params", src)
+            present = tuple(s for s in ENCODER_SUBTREES if s in inner)
+            if present:
+                return present
+        return ENCODER_SUBTREES
+
     def set_optimizer(self, args):
         """Multi-group optimizer: pretrained encoder slower/frozen vs fresh
         decoder (reference: cassnat_task.py:133-154)."""
+        group_subtrees = self._optim_encoder_subtrees(args)
         if isinstance(getattr(args, "noam_factor", None), (list, tuple)):
             def label_fn(params):
                 def label_of(path):
@@ -66,7 +93,7 @@ class CassNATTask(BaseTask):
                     if top == "params" and len(path) > 1:
                         top = path[1].key if hasattr(path[1], "key") \
                             else path[1]
-                    return "encoder" if top in ENCODER_SUBTREES else "decoder"
+                    return "encoder" if top in group_subtrees else "decoder"
                 return jax.tree_util.tree_map_with_path(
                     lambda p, _: label_of(p), params)
             self.optimizer = get_mul_optim(
@@ -79,7 +106,7 @@ class CassNATTask(BaseTask):
             self.optimizer = optax.chain(
                 self.optimizer,
                 optax.masked(optax.set_to_zero(),
-                             lambda p: _subtree_mask(p, ENCODER_SUBTREES)))
+                             lambda p: _subtree_mask(p, group_subtrees)))
         accum = getattr(args, "accum_grad", 1)
         if accum > 1:
             self.optimizer = optax.MultiSteps(self.optimizer, accum)
@@ -124,7 +151,10 @@ class CassNATTask(BaseTask):
                    "att_errs", "att_tokens")
 
     def epoch_metric(self, valid_meters):
-        return valid_meters["att_wer"].avg
+        # a meter nothing updated must never win best-model selection (a
+        # silent-zero att_wer once froze best_model.ckpt at epoch 0)
+        m = valid_meters["att_wer"]
+        return m.avg if m.count else float("inf")
 
     # ---- decoding (reference: cassnat_task.py:307-377) ----
     def load_lm_model(self, args):

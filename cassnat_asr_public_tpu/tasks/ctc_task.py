@@ -48,7 +48,8 @@ class CTCTask(BaseTask):
     metric_keys = ("ctc_errs", "ctc_tokens")
 
     def epoch_metric(self, valid_meters):
-        return valid_meters["ctc_wer"].avg
+        m = valid_meters["ctc_wer"]
+        return m.avg if m.count else float("inf")
 
     def load_lm_model(self, args):
         """Beam-fusion LM. Beyond the reference's transformer-LM fusion

@@ -136,7 +136,8 @@ class HubertTask(BaseTask):
     metric_keys = ("ctc_errs", "ctc_tokens", "att_errs", "att_tokens")
 
     def epoch_metric(self, valid_meters):
-        return valid_meters["att_wer"].avg
+        m = valid_meters["att_wer"]
+        return m.avg if m.count else float("inf")
 
     def decode(self, args):
         results = {}

@@ -255,16 +255,32 @@ def stage_ft():
         f"{HERE}/conf/cassnat_sub.yaml",
         base + f"\n# low-resource fine-tune budget (duplicate keys: last"
                f" wins)\nepochs: {FT_EPOCHS}\nstart_saving_epoch: 0\n")
+    # SSL-init fine-tune uses the reference's multi-group MulNoam recipe
+    # (reference optimizer.py:128-174: pretrained encoder group at a lower
+    # factor than the fresh decoder). Full-LR fine-tune from the contrastive
+    # basin measurably destroys the SSL features on this budget (93.9% WER
+    # vs 4.4% scratch with plain noam, single-arm ablation kept in
+    # family_results.json as ft_ssl_init_fulllr).
+    mulnoam_yaml = _write_yaml(
+        f"{HERE}/conf/cassnat_sub_mulnoam.yaml",
+        open(train_yaml).read()
+        + "\n# SSL-init fine-tune: transplanted {src_embed, encoder} frozen"
+          " for the first 150 updates while the fresh CTC head + NAT"
+          " decoder train on the fixed SSL features, then 3x slower than"
+          " the fresh group (fairseq freeze_finetune_updates semantics)\n"
+          "noam_factor: [0.0005, 0.0015]\n"
+          "warmup_steps: [800, 800]\nfreeze_steps: [150, 0]\n")
     runs = {
-        "ft_scratch": "",
-        "ft_ssl_init": os.path.join(SSL_EXP, "best_model.ckpt"),
+        "ft_scratch": ("", train_yaml),
+        "ft_ssl_init": (os.path.join(SSL_EXP, "best_model.ckpt"),
+                        mulnoam_yaml),
     }
-    for name, resume in runs.items():
+    for name, (resume, yaml_path) in runs.items():
         exp = os.path.join(HERE, "exp", name)
         if not os.path.exists(os.path.join(exp, "best_model.ckpt")):
-            _train_cli("cassnat", exp, train_yaml, data_yaml, FT_EPOCHS,
+            _train_cli("cassnat", exp, yaml_path, data_yaml, FT_EPOCHS,
                        resume=resume)
-        hyps = _decode("cassnat", exp, train_yaml, data_yaml,
+        hyps = _decode("cassnat", exp, yaml_path, data_yaml,
                        dict(decode_type="esa_att", sample_num=1,
                             rank_model="none"))
         _score(name, hyps)
@@ -330,6 +346,7 @@ test_paths:
 # HubertNAT trained from scratch on raw synth waveforms (16 kHz); conv
 # stride 160 -> 100 fps.
 vocab_size: 19
+d_model: 144          # noam schedule scale (reference hubert_train.yaml:7)
 encoder_embed_dim: 144
 encoder_layers: 4
 encoder_attention_heads: 4
@@ -415,9 +432,15 @@ def stage_report():
         "| run | test WER % |",
         "|---|---|",
     ]
-    for k in ("ft_scratch", "ft_ssl_init"):
+    for k in ("ft_scratch", "ft_ssl_init", "ft_ssl_init_fulllr"):
         if k in res:
             lines.append(f"| {k} | {res[k]['wer']:.2f} |")
+    if "ft_ssl_init_fulllr" in res:
+        lines += ["", "ft_ssl_init uses the reference's MulNoam multi-group"
+                  " recipe (encoder group at 1/3 the decoder factor);"
+                  " ft_ssl_init_fulllr is the single-group-noam ablation —"
+                  " full-LR fine-tune visibly destroys the pretrained"
+                  " features at this budget."]
     if "ssl_pretrain" in res:
         d = res["ssl_pretrain"]
         lines += ["", f"SSL codebook health at the final epoch: valid "
