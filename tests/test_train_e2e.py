@@ -195,3 +195,51 @@ def test_load_test_model_missing_ckpt_raises():
     with pytest.raises(FileNotFoundError):
         t.load_test_model(
             types.SimpleNamespace(resume_model="/nonexistent/model.ckpt"))
+
+def test_epoch_metric_empty_meter_never_best():
+    """A WER meter nothing updated must read +inf for best-model selection
+    (regression: a silently-zero att_wer froze best_model.ckpt at epoch 0
+    while training kept improving — FAMILY_E2E lmnat decoded at 72% WER
+    from an epoch-0 checkpoint)."""
+    from cassnat_asr_public_tpu.tasks.cassnat_task import CassNATTask
+    from cassnat_asr_public_tpu.utils.metrics import AverageMeter
+
+    t = CassNATTask.__new__(CassNATTask)
+    empty = {"att_wer": AverageMeter("att_wer")}
+    assert t.epoch_metric(empty) == float("inf")
+    updated = {"att_wer": AverageMeter("att_wer")}
+    updated["att_wer"].update(0.0, n=4)
+    assert t.epoch_metric(updated) == 0.0
+
+
+def test_optim_group_subtrees_follow_transplant(tmp_path):
+    """MulNoam/fix_encoder grouping must only slow/freeze subtrees the init
+    checkpoint actually provides: a wav2vec SSL checkpoint (src_embed +
+    encoder, no ctc_generator) leaves the fresh CTC head in the fast group
+    (fairseq freeze_finetune_updates semantics)."""
+    import os
+    import types
+
+    import jax.numpy as jnp
+    from cassnat_asr_public_tpu.tasks.cassnat_task import (CassNATTask,
+                                                           ENCODER_SUBTREES)
+    from cassnat_asr_public_tpu.utils import checkpoint as ckpt
+
+    ssl_like = {"params": {"encoder": {"w": jnp.ones(2)},
+                           "src_embed": {"w": jnp.ones(2)},
+                           "quantizer": {"w": jnp.ones(2)}}}
+    path = os.path.join(str(tmp_path), "ssl.ckpt")
+    ckpt.save_checkpoint(path, ssl_like)
+
+    t = CassNATTask.__new__(CassNATTask)
+    args = types.SimpleNamespace(resume_model=path, exp_dir=str(tmp_path))
+    assert t._optim_encoder_subtrees(args) == ("src_embed", "encoder")
+
+    # no init checkpoint -> full AST-init set
+    args2 = types.SimpleNamespace(resume_model="", exp_dir=str(tmp_path))
+    assert t._optim_encoder_subtrees(args2) == ENCODER_SUBTREES
+
+    # explicit config override wins
+    args3 = types.SimpleNamespace(resume_model=path, exp_dir=str(tmp_path),
+                                  encoder_group_subtrees=["encoder"])
+    assert t._optim_encoder_subtrees(args3) == ("encoder",)
