@@ -66,6 +66,26 @@ def _same_transition(path: jnp.ndarray) -> jnp.ndarray:
     return same.at[:, 2:].set(path[:, :-2] == path[:, 2:])
 
 
+# Pallas CTC loss dispatch (kernels/ctc_loss.py): alpha/beta DPs as single
+# VMEM-resident kernels with a custom VJP emitting the CTC posterior
+# gradient, replacing the T-step lax.scan (and its reverse-mode unroll).
+# None = auto (TPU only), True/False = forced.
+# Default OFF until the on-chip A/B lands; None = auto (TPU only).
+_PALLAS_CTC_LOSS = False
+
+
+def enable_pallas_ctc_loss(on):
+    """Force the Pallas CTC loss kernel on/off (None = auto: TPU only)."""
+    global _PALLAS_CTC_LOSS
+    _PALLAS_CTC_LOSS = on
+
+
+def _pallas_ctc_loss_enabled() -> bool:
+    if _PALLAS_CTC_LOSS is not None:
+        return _PALLAS_CTC_LOSS
+    return jax.default_backend() == "tpu"
+
+
 def ctc_forward_score(log_probs, labels, input_lengths, label_lengths, blank=0):
     """Log P(labels | log_probs) under CTC, per sample.
 
@@ -81,6 +101,11 @@ def ctc_forward_score(log_probs, labels, input_lengths, label_lengths, blank=0):
     Returns:
       (B,) log probability of each label sequence (<= 0).
     """
+    if _pallas_ctc_loss_enabled():
+        from cassnat_asr_public_tpu.kernels.ctc_loss import \
+            ctc_forward_score_pallas
+        return ctc_forward_score_pallas(log_probs, labels,
+                                        input_lengths, label_lengths, blank)
     log_probs = log_probs.astype(jnp.float32)
     path = _interleave_blanks(labels, blank)
     bs, smax = path.shape
