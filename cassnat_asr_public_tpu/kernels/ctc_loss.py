@@ -92,8 +92,9 @@ def _beta_grad_kernel(lp_ref, alpha_ref, same_ref, outside_ref, len_ref,
     lens = len_ref[:]
     plens = plen_ref[:]
     logz = logz_ref[:]
-    # s -> s+2 is allowed iff path[s+2] != path[s], i.e. NOT same[s+2]
-    same_next2 = jnp.roll(same_blk, -2, axis=1)
+    # s -> s+2 is allowed iff path[s+2] != path[s], i.e. NOT same[s+2].
+    # Roll the f32 mask, not the bool: Mosaic cannot bitcast i1 vregs.
+    same_next2 = jnp.roll(same_ref[:], -2, axis=1) > 0.5
     bad_z = logz <= LOG_ZERO / 2  # impossible sequence: emit zero grads
 
     beta0 = jnp.full((bb, s), LOG_ZERO, jnp.float32)

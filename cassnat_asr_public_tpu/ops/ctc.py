@@ -70,8 +70,12 @@ def _same_transition(path: jnp.ndarray) -> jnp.ndarray:
 # VMEM-resident kernels with a custom VJP emitting the CTC posterior
 # gradient, replacing the T-step lax.scan (and its reverse-mode unroll).
 # None = auto (TPU only), True/False = forced.
-# Default OFF until the on-chip A/B lands; None = auto (TPU only).
-_PALLAS_CTC_LOSS = False
+# On-chip A/B (benchmarks/ctc_loss_bench.py, v5e): loss fwd+bwd 3.89 ->
+# 3.41 ms (1.14x), full CASS-NAT train step 76.7 -> 75.0 ms. TPU grads
+# match the scan's autodiff to ~3e-3 abs (posterior reconstruction vs
+# cotangent propagation; exact to 1e-5 in interpret mode).
+# None = auto (TPU only), True/False = forced.
+_PALLAS_CTC_LOSS = None
 
 
 def enable_pallas_ctc_loss(on):
