@@ -82,53 +82,59 @@ class ArtTask(BaseTask):
     # ---- decoding (reference: art_task.py:233-277) ----
     # load_lm_model inherited from BaseTask (transformer fusion LM)
 
-    def decode(self, args):
+    def decode_batch(self, args, bd, rng=None):
+        """Decode ONE padded batch dict; returns (out, rng). Shared by the
+        offline decode loop and the serving driver (bin/serve_asr.py)."""
         decode_type = getattr(args, "decode_type", "ctc_att")
-        results = {}
-        t0 = time.time()
         use_lm = (self.lm_model is not None
                   and getattr(args, "lm_weight", 0) > 0)
         lm_apply = self.lm_apply2 if use_lm else None
+        feats = bd["feats"]
+        mask = bd["src_mask"]
+        if decode_type == "ctc_only":
+            out = ctc_greedy_decode_jit(self.model, self.state.params,
+                                        feats, mask)
+        elif decode_type == "ctc_correct":
+            # CTC-correction single-pass decode, then per-position beam
+            # when beam_width > 1 (reference: transformer.py:243-342)
+            out = ctc_correct_decode_jit(
+                self.model, self.state.params, feats, mask,
+                umax=feats.shape[1] // 4 + 2,
+                lm_apply=self.lm_apply4 if use_lm else None,
+                lm_params=self.lm_params,
+                lm_weight=getattr(args, "lm_weight", 0.0),
+                beam_width=getattr(args, "beam_width", 1),
+                lm_model=self.lm_model if use_lm else None)
+        else:
+            max_steps = min(
+                int(getattr(args, "max_decode_ratio", 0)
+                    * feats.shape[1] / 4) or feats.shape[1] // 4,
+                feats.shape[1] // 4 + 8)
+            cached = getattr(args, "use_kv_cache", True)
+            beam_fn = ar_beam_decode_cached_jit if cached \
+                else ar_beam_decode_jit
+            extra = {}
+            if cached and use_lm:
+                # cached path advances the fusion LM by its own KV cache
+                extra = {"lm_model": self.lm_model}
+            out = beam_fn(
+                self.model, self.state.params, feats, mask,
+                beam_width=getattr(args, "beam_width", 20),
+                ctc_beam=getattr(args, "ctc_beam", 30),
+                ctc_weight=getattr(args, "ctc_weight", 0.4),
+                lm_weight=getattr(args, "lm_weight", 0.0),
+                length_penalty=getattr(args, "length_penalty", 0.0) or 0.0,
+                max_steps=max_steps,
+                lm_apply=lm_apply, lm_params=self.lm_params,
+                temperature=getattr(args, "T", 1.0), **extra)
+        return out, rng
+
+    def decode(self, args):
+        results = {}
+        t0 = time.time()
         for batch in self.test_loader:
             bd = self.shard_decode_batch(batch)
-            feats = bd["feats"]
-            mask = bd["src_mask"]
-            if decode_type == "ctc_only":
-                out = ctc_greedy_decode_jit(self.model, self.state.params,
-                                            feats, mask)
-            elif decode_type == "ctc_correct":
-                # CTC-correction single-pass decode, then per-position beam
-                # when beam_width > 1 (reference: transformer.py:243-342)
-                out = ctc_correct_decode_jit(
-                    self.model, self.state.params, feats, mask,
-                    umax=feats.shape[1] // 4 + 2,
-                    lm_apply=self.lm_apply4 if use_lm else None,
-                    lm_params=self.lm_params,
-                    lm_weight=getattr(args, "lm_weight", 0.0),
-                    beam_width=getattr(args, "beam_width", 1),
-                    lm_model=self.lm_model if use_lm else None)
-            else:
-                max_steps = min(
-                    int(getattr(args, "max_decode_ratio", 0)
-                        * feats.shape[1] / 4) or feats.shape[1] // 4,
-                    feats.shape[1] // 4 + 8)
-                cached = getattr(args, "use_kv_cache", True)
-                beam_fn = ar_beam_decode_cached_jit if cached \
-                    else ar_beam_decode_jit
-                extra = {}
-                if cached and use_lm:
-                    # cached path advances the fusion LM by its own KV cache
-                    extra = {"lm_model": self.lm_model}
-                out = beam_fn(
-                    self.model, self.state.params, feats, mask,
-                    beam_width=getattr(args, "beam_width", 20),
-                    ctc_beam=getattr(args, "ctc_beam", 30),
-                    ctc_weight=getattr(args, "ctc_weight", 0.4),
-                    lm_weight=getattr(args, "lm_weight", 0.0),
-                    length_penalty=getattr(args, "length_penalty", 0.0) or 0.0,
-                    max_steps=max_steps,
-                    lm_apply=lm_apply, lm_params=self.lm_params,
-                    temperature=getattr(args, "T", 1.0), **extra)
+            out, _ = self.decode_batch(args, bd)
             toks = np.asarray(out["tokens"])
             for i, utt in enumerate(batch["utts"]):
                 hyp = [int(t) for t in toks[i] if t > 2]

@@ -221,18 +221,78 @@ class CassNATTask(BaseTask):
 
             self.lm_apply = at_apply
 
-    def decode(self, args):
+    def decode_batch(self, args, bd, rng):
+        """Decode ONE padded batch dict (feats + src_mask [+ labels for
+        oracle]) with the configured decode_type; returns (out, rng).
+
+        Shared by the offline decode loop below and the serving driver
+        (bin/serve_asr.py), so the served path is exactly the scored path.
+        """
         decode_type = getattr(args, "decode_type", "esa_att")
         sample_num = getattr(args, "sample_num", 0) or 1
         rank_model = getattr(args, "rank_model", "none")
         if self.lm_model is None:
             rank_model = "none"
-        results = {}
-        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         lm_apply = getattr(self, "lm_apply", None)
         # fused conformer-layer Pallas encoder (kernels/conformer_layer.py);
         # conformer/relative encoders only, A/B'd in bench.py
         use_mk = bool(getattr(args, "use_megakernel", False))
+        feats = bd["feats"]
+        mask = bd["src_mask"]
+        if decode_type == "ctc_only":
+            out = ctc_greedy_decode_jit(self.model, self.state.params,
+                                        feats, mask,
+                                        use_megakernel=use_mk)
+        elif decode_type == "oracle_att":
+            # upper bound given perfect alignment
+            # (reference: cassnat.py:449-450)
+            out = nat_decode_jit(
+                self.model, self.state.params, feats, mask, rng,
+                umax=bd["labels"].shape[1] - 1, sample_num=1,
+                align="oracle",
+                labels=bd["labels"][:, 1:-1],
+                label_sizes=bd["label_sizes"],
+                use_megakernel=use_mk)
+        elif decode_type == "ctc_att":
+            out = self._decode_ctc_beam_align(args, feats, mask,
+                                              sample_num, rng,
+                                              lm_apply)
+        else:  # esa_att / att
+            rng, sub = jax.random.split(rng)
+            umax = max(8, min(feats.shape[1] // 4 + 1,
+                              getattr(args, "decode_max_tokens", 160)))
+            from cassnat_asr_public_tpu.models.lm import TransformerLM
+            fusion_lm = self.lm_model if isinstance(
+                self.lm_model, TransformerLM) else None
+            kw = dict(
+                umax=umax, sample_num=sample_num,
+                threshold=getattr(args, "threshold", 0.9),
+                rank_model=("host" if rank_model == "n-gram"
+                            else rank_model),
+                lm_apply=lm_apply,
+                lm_params=self.lm_params,
+                beam_width=getattr(args, "beam_width", 1),
+                lm_model=fusion_lm,
+                lm_weight=getattr(args, "lm_weight", 0.0),
+                esa_topk=getattr(args, "esa_topk", 0),
+                rank_topm=getattr(args, "esa_rank_topm", 0),
+                lm_apply_logits=getattr(self, "lm_apply_logits",
+                                        False),
+                use_megakernel=use_mk,
+                **self._decode_text_kwargs(feats, mask))
+            if getattr(args, "esa_two_phase", False) and sample_num > 1:
+                out = self._nat_decode_two_phase(args, feats, mask,
+                                                 sub, sample_num, kw)
+            else:
+                out = self._nat_decode_dedup(args, feats, mask, sub,
+                                             sample_num, kw)
+            if "cand_tokens" in out:
+                out = self._rank_ngram(out)
+        return out, rng
+
+    def decode(self, args):
+        results = {}
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         hit_stats = None
         diffs = None
         t0 = time.time()
@@ -240,55 +300,7 @@ class CassNATTask(BaseTask):
             bd = self.shard_decode_batch(batch)
             feats = bd["feats"]
             mask = bd["src_mask"]
-            if decode_type == "ctc_only":
-                out = ctc_greedy_decode_jit(self.model, self.state.params,
-                                            feats, mask,
-                                            use_megakernel=use_mk)
-            elif decode_type == "oracle_att":
-                # upper bound given perfect alignment
-                # (reference: cassnat.py:449-450)
-                out = nat_decode_jit(
-                    self.model, self.state.params, feats, mask, rng,
-                    umax=batch["labels"].shape[1] - 1, sample_num=1,
-                    align="oracle",
-                    labels=bd["labels"][:, 1:-1],
-                    label_sizes=bd["label_sizes"],
-                    use_megakernel=use_mk)
-            elif decode_type == "ctc_att":
-                out = self._decode_ctc_beam_align(args, feats, mask,
-                                                  sample_num, rng,
-                                                  lm_apply)
-            else:  # esa_att / att
-                rng, sub = jax.random.split(rng)
-                umax = max(8, min(feats.shape[1] // 4 + 1,
-                                  getattr(args, "decode_max_tokens", 160)))
-                from cassnat_asr_public_tpu.models.lm import TransformerLM
-                fusion_lm = self.lm_model if isinstance(
-                    self.lm_model, TransformerLM) else None
-                kw = dict(
-                    umax=umax, sample_num=sample_num,
-                    threshold=getattr(args, "threshold", 0.9),
-                    rank_model=("host" if rank_model == "n-gram"
-                                else rank_model),
-                    lm_apply=lm_apply,
-                    lm_params=self.lm_params,
-                    beam_width=getattr(args, "beam_width", 1),
-                    lm_model=fusion_lm,
-                    lm_weight=getattr(args, "lm_weight", 0.0),
-                    esa_topk=getattr(args, "esa_topk", 0),
-                    rank_topm=getattr(args, "esa_rank_topm", 0),
-                    lm_apply_logits=getattr(self, "lm_apply_logits",
-                                            False),
-                    use_megakernel=use_mk,
-                    **self._decode_text_kwargs(feats, mask))
-                if getattr(args, "esa_two_phase", False) and sample_num > 1:
-                    out = self._nat_decode_two_phase(args, feats, mask,
-                                                     sub, sample_num, kw)
-                else:
-                    out = self._nat_decode_dedup(args, feats, mask, sub,
-                                                 sample_num, kw)
-                if "cand_tokens" in out:
-                    out = self._rank_ngram(out)
+            out, rng = self.decode_batch(args, bd, rng)
             if getattr(args, "test_hitrate", False):
                 hit_stats, diffs = self._hitrate_update(
                     bd, feats, mask, out, hit_stats, diffs,

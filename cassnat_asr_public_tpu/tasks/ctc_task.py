@@ -82,54 +82,67 @@ class CTCTask(BaseTask):
             hyps.append(best)
         return hyps
 
-    def decode(self, args):
+    def decode_batch(self, args, bd, rng=None):
+        """Decode ONE padded batch dict; returns (out, rng) with
+        out["tokens"] (B, U) / out["lengths"] (B,). Shared by the offline
+        decode loop and the serving driver (bin/serve_asr.py)."""
         decode_type = getattr(args, "decode_type", "greedy")
+        feats = bd["feats"]
+        mask = bd["src_mask"]
+        if decode_type in ("greedy", "ctc_only"):
+            out = ctc_greedy_decode_jit(self.model, self.state.params,
+                                        feats, mask)
+            return out, rng
+        # beam
+        _, enc_mask, ctc_out = self.model.apply(
+            self.state.params, feats, mask, method="encode_ctc")
+        lm_w = getattr(args, "ctc_lm_weight", 0.0)
+        from cassnat_asr_public_tpu.models.lm import TransformerLM
+        fusion_lm = self.lm_model if isinstance(
+            self.lm_model, TransformerLM) else None
+        # device beam; with a fusion LM it advances in-graph
+        # through its KV cache (reference: beam_decode.py:31-55
+        # batched per-frame LM queries)
+        from cassnat_asr_public_tpu.utils.decoding import \
+            ctc_frame_beam_decode_jit
+        out = ctc_frame_beam_decode_jit(
+            ctc_out, enc_mask.sum(-1),
+            beam_width=getattr(args, "ctc_beam", 10),
+            pruning_size=getattr(args, "ctc_pruning", 10) or 10,
+            length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0,
+            lm_model=fusion_lm if lm_w > 0 else None,
+            lm_params=self.lm_params if lm_w > 0 else None,
+            lm_weight=lm_w)
+        toks = np.asarray(out["tokens"])
+        lens = np.asarray(out["lengths"])
+        if lm_w > 0 and fusion_lm is None and self.lm_model is not None:
+            # word n-gram (ARPA) can't be queried per-token in the
+            # frame-sync beam: rerank the device n-best host-side
+            # with combined score + lm_w * ngram/slots (same
+            # normalization as CassNATTask._rank_ngram)
+            hyps = self._rerank_nbest_ngram(
+                toks, lens, np.asarray(out["scores"]), lm_w)
+        else:
+            hyps = [list(toks[i, 0, :lens[i, 0]])
+                    for i in range(toks.shape[0])]
+        # flatten the n-best to a uniform (B, U) / (B,) top-1 layout
+        umax = max((len(h) for h in hyps), default=1) or 1
+        top = np.zeros((len(hyps), umax), toks.dtype)
+        top_len = np.zeros((len(hyps),), np.int32)
+        for i, h in enumerate(hyps):
+            top[i, :len(h)] = h
+            top_len[i] = len(h)
+        return {"tokens": top, "lengths": top_len}, rng
+
+    def decode(self, args):
         results = {}
         t0 = time.time()
         for batch in self.test_loader:
             bd = self.shard_decode_batch(batch)
-            feats = bd["feats"]
-            mask = bd["src_mask"]
-            if decode_type in ("greedy", "ctc_only"):
-                out = ctc_greedy_decode_jit(self.model, self.state.params,
-                                            feats, mask)
-                toks, lens = np.asarray(out["tokens"]), \
-                    np.asarray(out["lengths"])
-                hyps = [list(toks[i, :lens[i]]) for i in range(len(lens))]
-            else:  # beam
-                _, enc_mask, ctc_out = self.model.apply(
-                    self.state.params, feats, mask, method="encode_ctc")
-                lm_w = getattr(args, "ctc_lm_weight", 0.0)
-                from cassnat_asr_public_tpu.models.lm import TransformerLM
-                fusion_lm = self.lm_model if isinstance(
-                    self.lm_model, TransformerLM) else None
-                # device beam; with a fusion LM it advances in-graph
-                # through its KV cache (reference: beam_decode.py:31-55
-                # batched per-frame LM queries)
-                from cassnat_asr_public_tpu.utils.decoding import \
-                    ctc_frame_beam_decode_jit
-                out = ctc_frame_beam_decode_jit(
-                    ctc_out, enc_mask.sum(-1),
-                    beam_width=getattr(args, "ctc_beam", 10),
-                    pruning_size=getattr(args, "ctc_pruning", 10) or 10,
-                    length_penalty=getattr(args, "ctc_lp", 0.0) or 0.0,
-                    lm_model=fusion_lm if lm_w > 0 else None,
-                    lm_params=self.lm_params if lm_w > 0 else None,
-                    lm_weight=lm_w)
-                toks = np.asarray(out["tokens"])
-                lens = np.asarray(out["lengths"])
-                if lm_w > 0 and fusion_lm is None and \
-                        self.lm_model is not None:
-                    # word n-gram (ARPA) can't be queried per-token in the
-                    # frame-sync beam: rerank the device n-best host-side
-                    # with combined score + lm_w * ngram/slots (same
-                    # normalization as CassNATTask._rank_ngram)
-                    hyps = self._rerank_nbest_ngram(
-                        toks, lens, np.asarray(out["scores"]), lm_w)
-                else:
-                    hyps = [list(toks[i, 0, :lens[i, 0]])
-                            for i in range(toks.shape[0])]
+            out, _ = self.decode_batch(args, bd)
+            toks = np.asarray(out["tokens"])
+            lens = np.asarray(out["lengths"])
             for i, utt in enumerate(batch["utts"]):
                 results[utt] = self.vocab.decode(
-                    [int(t) for t in hyps[i] if t > 2])
+                    [int(t) for t in toks[i, :lens[i]] if t > 2])
         return results, time.time() - t0
