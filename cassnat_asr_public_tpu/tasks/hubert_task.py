@@ -19,7 +19,6 @@ from cassnat_asr_public_tpu.models.hubert import (
     load_fairseq_hubert,
     make_model as make_hubert,
 )
-from cassnat_asr_public_tpu.ops.ctc import ctc_best_path_align
 from cassnat_asr_public_tpu.tasks.base import BaseTask, TrainState
 from cassnat_asr_public_tpu.utils import metrics as M
 
@@ -139,23 +138,56 @@ class HubertTask(BaseTask):
         m = valid_meters["att_wer"]
         return m.avg if m.count else float("inf")
 
+    def decode_batch(self, args, bd, rng):
+        """Decode ONE padded raw-waveform batch: greedy best-path
+        (default) or ESA sampling + ranking (reference run_hubert.sh
+        decode stage: decode_type esa_att, sample_num 50, threshold 0.9
+        + rank model; the rank flavor here is the transformer-LM ranker).
+
+        Routed through the shared `nat_decode_jit` with the waveforms
+        standing in for feats — HubertNAT.encode_ctc(wav, wav_lengths)
+        has the same positional shape as encode_ctc(feats, src_mask),
+        and after encoding everything operates on (enc_h, enc_mask).
+        Shared with the serving driver (bin/serve_asr.py), like the
+        other ASR tasks' decode_batch.
+        """
+        from cassnat_asr_public_tpu.nn.hubert_frontend import \
+            conv_out_length
+        from cassnat_asr_public_tpu.utils.decoding import nat_decode_jit
+        wavs = bd["wavs"]
+        lens = bd["wav_lens"]
+        sample_num = getattr(args, "sample_num", 0) or 1
+        if getattr(args, "decode_type", "best_path") != "esa_att":
+            sample_num = 1
+        rank_model = getattr(args, "rank_model", "none")
+        if self.lm_model is None or sample_num == 1:
+            rank_model = "none"
+        tmax = conv_out_length(int(wavs.shape[1]), self.model.conv_layers)
+        umax = max(8, min(tmax // 2 + 2,
+                          getattr(args, "decode_max_tokens", 160)))
+        rng, sub = jax.random.split(rng)
+        out = nat_decode_jit(
+            self.model, self.state.params, wavs, lens, sub, umax=umax,
+            sample_num=sample_num,
+            threshold=getattr(args, "threshold", 0.9),
+            rank_model=rank_model,
+            lm_apply=getattr(self, "lm_apply4", None),
+            lm_params=self.lm_params,
+            esa_topk=getattr(args, "esa_topk", 0),
+            rank_topm=getattr(args, "esa_rank_topm", 0))
+        return out, rng
+
     def decode(self, args):
         results = {}
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         t0 = time.time()
         for batch in self.test_loader:
             bd = self.shard_decode_batch(batch)
-            wavs = bd["wavs"]
-            lens = bd["wav_lens"]
-            enc_h, enc_mask, ctc_out = self.model.apply(
-                self.state.params, wavs, lens, method="encode_ctc")
-            shift, ylen0 = ctc_best_path_align(ctc_out, enc_mask)
-            umax = int(enc_mask.shape[1]) // 2 + 2
-            att_out, ylen = self.model.apply(
-                self.state.params, enc_h, enc_mask, shift, ylen0, umax,
-                method="nat_decode")
-            pred = np.asarray(att_out.argmax(-1))
-            lens_np = np.asarray(ylen) - 1
+            out, rng = self.decode_batch(args, bd, rng)
+            toks = np.asarray(out["tokens"])
+            lens_np = np.asarray(out["lengths"])
             for i, utt in enumerate(batch["utts"]):
-                hyp = [int(t) for t in pred[i, :max(lens_np[i], 0)] if t > 2]
+                hyp = [int(t) for t in toks[i, :max(lens_np[i], 0)]
+                       if t > 2]
                 results[utt] = self.vocab.decode(hyp)
         return results, time.time() - t0

@@ -228,10 +228,17 @@ def _load_sd(model, sd_np, label):
 
 
 def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
-                         sample_num=1, lm_exp=None, lm_layers=2):
+                         sample_num=1, lm_exp=None, lm_layers=2,
+                         lm_shape=None, at_exp=None):
     """Decode the synth test set with the REFERENCE CassNAT.beam_decode on
     transplanted trained weights. rank_model 'none' forces sample_num=1
-    (the reference has no rank-free multi-sample path)."""
+    (the reference has no rank-free multi-sample path).
+
+    lm_shape overrides the rank-LM architecture (dict with N/d_model/
+    d_ff/n_head — the capacity-ladder LMs); at_exp points at a trained
+    AST-Conformer exp dir for rank_model='at_baseline' (the reference
+    scores candidates with the AT decoder, cassnat.py:509-515 +
+    cassnat_task.py:109-115)."""
     import torch
     from cassnat_asr_public_tpu.utils import checkpoint as ckpt
     from cassnat_asr_public_tpu.utils.config import merge_configs
@@ -268,14 +275,32 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
 
     lm_model = None
     if rank_model == "lm":
+        shape = lm_shape or dict(N=lm_layers, d_model=128, d_ff=512,
+                                 n_head=4)
         lm_ns = types.SimpleNamespace(
-            vocab_size=cfg.vocab_size, N=lm_layers, d_model=128, d_ff=512,
-            n_head=4, dropout=0.0)
+            vocab_size=cfg.vocab_size, dropout=0.0, **shape)
         lm_model = ref_lm.make_model(lm_ns).eval()
         lm_state = ckpt.load_checkpoint(
             os.path.join(lm_exp, "best_model.ckpt"))
-        _load_sd(lm_model, lm_state_dict(lm_state["params"], lm_layers),
+        _load_sd(lm_model, lm_state_dict(lm_state["params"], shape["N"]),
                  "lm")
+    elif rank_model == "at_baseline":
+        # the reference loads the rank AT model through the same lm_model
+        # slot (cassnat_task.py:109-115) and scores candidates with its
+        # decoder (cassnat.py:509-515)
+        at_cfg = merge_configs(None, f"{here}/conf/ast_train.yaml")
+        at_ns = types.SimpleNamespace(
+            **{k: getattr(at_cfg, k) for k in vars(at_cfg)})
+        at_ns.dropout = 0.0
+        at_ns.use_gpu = False
+        at_ns.interctc_alpha = 0
+        lm_model = ref_mods.conformer.make_model(at_cfg.input_size,
+                                                 at_ns).eval()
+        at_state = ckpt.load_checkpoint(
+            os.path.join(at_exp, "best_model.ckpt"))
+        _load_sd(lm_model,
+                 ast_state_dict(at_state["params"], at_cfg.N_enc,
+                                at_cfg.N_dec), "at_rank")
 
     vocab = Vocab(os.path.join(data_dir, "dict", "vocab_char.txt"))
 

@@ -82,6 +82,13 @@ def main():
     p.add_argument("--out", default="data")
     p.add_argument("--n_train", type=int, default=1200)
     p.add_argument("--n_eval", type=int, default=150)
+    p.add_argument("--n_test", type=int, default=None,
+                   help="test-split size (default: n_eval). The test split "
+                        "is generated LAST from the shared RNG stream, so "
+                        "enlarging it leaves train/dev byte-identical and "
+                        "its first n_eval utterances equal to the smaller "
+                        "test set — WER deltas stay comparable while "
+                        "gaining statistical power")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hard", action="store_true",
                    help="200-word confusable lexicon (minimal pairs), "
@@ -101,8 +108,9 @@ def main():
         pitch_rng, tempo_rng, noise = (0.88, 1.12), (0.85, 1.15), 0.015
     with open(os.path.join(args.out, "lexicon.txt"), "w") as f:
         f.write("\n".join(lex) + "\n")
+    n_test = args.n_test if args.n_test is not None else args.n_eval
     for split, n in [("train", args.n_train), ("dev", args.n_eval),
-                     ("test", args.n_eval)]:
+                     ("test", n_test)]:
         d = os.path.join(args.out, split)
         wav_dir = os.path.join(d, "wav")
         os.makedirs(wav_dir, exist_ok=True)

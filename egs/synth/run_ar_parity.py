@@ -29,11 +29,15 @@ REPO = os.path.abspath(os.path.join(HERE, "..", ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, HERE)
 
-from run_wer_parity import (DATA, LM_EXP, pieces_to_words, read_text, sh,
-                            wer)
+from run_wer_parity import (DATA, DATA_YAML, LM_EXP, LM_YAML, S,
+                            pieces_to_words, read_text, sh, wer)
 import run_wer_parity
 
-AST_EXP = os.path.join(HERE, "exp", "ast")
+# variant-aware (CASSNAT_SYNTH_VARIANT=hard trains/decodes the *_hard
+# twin — used both for AR parity and as the at_baseline ESA ranker)
+AST_EXP = run_wer_parity.AST_EXP
+AR_RESULTS = os.path.join(HERE, f"ar_results{S}.json")
+AR_REF_RESULTS = os.path.join(HERE, f"ar_reference_results{S}.json")
 
 BEAM = dict(beam_width=10, ctc_beam=15, ctc_weight=0.4, length_penalty=0.0)
 LM_WEIGHT = 0.2
@@ -42,7 +46,7 @@ LM_WEIGHT = 0.2
 def stage_train():
     sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.train_asr",
         "--exp_dir", AST_EXP, "--train_config", f"{HERE}/conf/ast_train.yaml",
-        "--data_config", f"{HERE}/conf/data.yaml",
+        "--data_config", DATA_YAML,
         "--optim_type", "noam", "--epochs", "40", "--task", "art"])
 
 
@@ -50,7 +54,7 @@ def _load_task(decode_overrides):
     from cassnat_asr_public_tpu.tasks import TASKS
     from cassnat_asr_public_tpu.utils.config import merge_configs
     cfg = merge_configs(None, f"{HERE}/conf/ast_train.yaml",
-                        f"{HERE}/conf/data.yaml")
+                        DATA_YAML)
     for p in ("train_paths", "dev_paths", "test_paths"):
         for d in getattr(cfg, p):
             for k in d:
@@ -74,14 +78,14 @@ DECODE_MODES = {
     "ast_greedy_ctc": dict(decode_type="ctc_only"),
     "ast_ar_beam": dict(decode_type="ctc_att", lm_weight=0.0, **BEAM),
     "ast_ar_beam_lm": dict(decode_type="ctc_att", lm_weight=LM_WEIGHT,
-                           lm_config=f"{HERE}/conf/lm.yaml",
+                           lm_config=LM_YAML,
                            rnnlm=os.path.join(LM_EXP, "best_model.ckpt"),
                            **BEAM),
     "ast_ctc_correct": dict(decode_type="ctc_correct", lm_weight=0.0,
                             beam_width=1),
     "ast_ctc_correct_beam": dict(decode_type="ctc_correct",
                                  lm_weight=LM_WEIGHT,
-                                 lm_config=f"{HERE}/conf/lm.yaml",
+                                 lm_config=LM_YAML,
                                  rnnlm=os.path.join(LM_EXP,
                                                     "best_model.ckpt"),
                                  beam_width=10, length_penalty=0.0),
@@ -93,10 +97,10 @@ def stage_decode():
     only = os.environ.get("CASSNAT_PARITY_MODES")
     only = set(only.split(",")) if only else None
     results = {}
-    if os.path.exists(f"{HERE}/ar_results.json"):
-        with open(f"{HERE}/ar_results.json") as f:
+    if os.path.exists(AR_RESULTS):
+        with open(AR_RESULTS) as f:
             results = json.load(f)
-    hyp_dir = f"{HERE}/decode_hyps"
+    hyp_dir = run_wer_parity.HYP_DIR
     os.makedirs(hyp_dir, exist_ok=True)
     for mode, over in DECODE_MODES.items():
         if only and mode not in only:
@@ -114,7 +118,7 @@ def stage_decode():
         print(f"[{mode}] WER {rep['wer']:.2f}% "
               f"({rep['n_words']} words)", flush=True)
         del task
-    with open(f"{HERE}/ar_results.json", "w") as f:
+    with open(AR_RESULTS, "w") as f:
         json.dump(results, f, indent=1)
 
 
@@ -122,8 +126,8 @@ def stage_reference():
     from flax_to_ref import reference_ar_decode
     refs = read_text(f"{DATA}/test/text")
     out = {}
-    if os.path.exists(f"{HERE}/ar_reference_results.json"):
-        with open(f"{HERE}/ar_reference_results.json") as f:
+    if os.path.exists(AR_REF_RESULTS):
+        with open(AR_REF_RESULTS) as f:
             out = json.load(f)
     only = os.environ.get("CASSNAT_PARITY_MODES")
     only = set(only.split(",")) if only else None
@@ -142,7 +146,7 @@ def stage_reference():
         rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
         out[name] = rep
         print(f"[{name}] WER {rep['wer']:.2f}%", flush=True)
-    with open(f"{HERE}/ar_reference_results.json", "w") as f:
+    with open(AR_REF_RESULTS, "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -45,13 +45,22 @@ from run_wer_parity import (DATA, LM_EXP, LM_YAML, pieces_to_words,
                             read_text, sh, wer)
 
 SUB = os.path.join(DATA, "train_sub")
+SUB25 = os.path.join(DATA, "train_sub25")
+UNLAB = os.path.join(DATA, "unlab")
 SSL_EXP = os.path.join(HERE, "exp", "wav2vec")
 RESULTS = os.path.join(HERE, "family_results.json")
 REPORT = os.path.join(REPO, "FAMILY_E2E.md")
 # 100 labeled utts: small enough that from-scratch training degrades and
 # SSL-init sensitivity is measurable (at 300 utts scratch already reaches
-# ~1.6% WER and the comparison saturates)
+# ~1.6% WER and the comparison saturates); the 25-utt subset is the
+# genuinely low-resource regime where SSL init is expected to WIN
 SUBSET_N = 100
+SUBSET25_N = 25
+# unlabeled pretrain corpus: 6,000 utts from the same synthesizer/lexicon
+# (audio only — SSL never sees the transcripts), i.e. 5x the labeled
+# train set, mirroring the reference's LibriSpeech-960-pretrain ->
+# -100h-finetune regime (run_hubert.sh)
+UNLAB_N = 6000
 FT_EPOCHS = 30
 
 # encoder shape must match conf/cassnat_train.yaml exactly so the SSL
@@ -93,30 +102,67 @@ def _write_yaml(path, text):
     return path
 
 
-def stage_subset():
-    os.makedirs(SUB, exist_ok=True)
+def _make_subset(sub_dir, n):
+    os.makedirs(sub_dir, exist_ok=True)
     keep = None
-    for src, dst in ((f"{DATA}/fbank/train/feats.scp", f"{SUB}/feats.scp"),
+    for src, dst in ((f"{DATA}/fbank/train/feats.scp",
+                      f"{sub_dir}/feats.scp"),
                      (f"{DATA}/fbank/train/utt2num_frames",
-                      f"{SUB}/utt2num_frames"),
+                      f"{sub_dir}/utt2num_frames"),
                      (f"{DATA}/train/token_char.scp",
-                      f"{SUB}/token_char.scp")):
+                      f"{sub_dir}/token_char.scp")):
         with open(src) as f:
             lines = f.readlines()
         if keep is None:
-            keep = set(l.split()[0] for l in lines[:SUBSET_N])
+            keep = set(l.split()[0] for l in lines[:n])
         with open(dst, "w") as f:
             f.writelines(l for l in lines if l.split()[0] in keep)
-    print(f"subset: {SUBSET_N} utts -> {SUB}")
+    print(f"subset: {n} utts -> {sub_dir}")
+
+
+def stage_subset():
+    """Labeled subsets + the unlabeled pretrain corpus (audio only)."""
+    _make_subset(SUB, SUBSET_N)
+    _make_subset(SUB25, SUBSET25_N)
+    if not os.path.exists(f"{UNLAB}/fbank/train/feats.scp"):
+        # audio-only corpus from the same synthesizer (seed 0 ==> same
+        # 40-word lexicon; transcripts are written but never consumed)
+        sh([sys.executable, "local/prepare_synth_speech.py", "--out",
+            UNLAB, "--n_train", str(UNLAB_N), "--n_eval", "0"])
+        sh([sys.executable, "-m",
+            "cassnat_asr_public_tpu.bin.prepare_features",
+            "--wav_scp", f"{UNLAB}/train/wav.scp",
+            "--out_dir", f"{UNLAB}/fbank/train"])
+    print(f"unlab: {UNLAB_N} utts -> {UNLAB}")
 
 
 def stage_ssl():
-    # Anti-collapse tuning for the ~3k-step budget (first attempt collapsed
-    # to code_ppl 2: temp hit its 0.5 floor within 700 steps and the 0.1
-    # diversity weight could not resist once neg_is_pos masking made the
-    # contrastive loss trivially 0). Slower anneal keeps the quantizer soft
-    # for the whole run; the stronger diversity weight mirrors scaling the
-    # reference's 0.1 from its 400k-update schedule down to this budget.
+    # Pretrain data: the 6,000-utt unlabeled corpus (stage 1), normalized
+    # with the SAME global CMVN as the labeled runs so the transplanted
+    # encoder sees an identical input distribution at fine-tune time.
+    # Valid split = the labeled dev audio (labels unused by the SSL task).
+    data_cfg = _write_yaml(f"{HERE}/conf/data_unlab.yaml", """vocab_file: data/dict/vocab_char.txt
+global_cmvn: data/fbank/cmvn.ark
+
+train_paths:
+  - name: unlab
+    scp_path: data/unlab/fbank/train/feats.scp
+    utt2num_frames: data/unlab/fbank/train/utt2num_frames
+
+dev_paths:
+  - name: dev
+    scp_path: data/fbank/dev/feats.scp
+    text_label: data/dev/token_char.scp
+    utt2num_frames: data/fbank/dev/utt2num_frames
+
+test_paths: []
+""")
+    # Anti-collapse tuning (round-3 lesson: at a 3k-step budget the
+    # quantizer temp floored within 700 steps and the codebook collapsed
+    # to ppl 2). This round pretrains 5x longer on 5x the audio
+    # (~15k updates), so the anneal is stretched to keep the codebook
+    # soft through ~mid-run (0.9997^15000 ~ 0.011 -> floors around step
+    # 9k) and saving starts once the schedule has matured.
     cfg = _write_yaml(f"{HERE}/conf/wav2vec_train.yaml", ENC + """
 mask_prob: 0.65
 mask_length: 5
@@ -126,7 +172,7 @@ final_dim: 64
 quantize_targets: True
 latent_vars: 64
 latent_groups: 2
-latent_temp: [2.0, 0.5, 0.9995]
+latent_temp: [2.0, 0.5, 0.9997]
 loss_weights: [1.0]
 dropout_input: 0.1
 dropout_features: 0.1
@@ -160,7 +206,7 @@ compute_dtype: bfloat16
     with open(log_path, "w") as lf:
         sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.train_ssl",
             "--exp_dir", SSL_EXP, "--train_config", cfg,
-            "--data_config", f"{HERE}/conf/data.yaml",
+            "--data_config", data_cfg,
             "--optim_type", "noam", "--epochs", "40", "--task", "wav2vec"],
            stdout=lf, stderr=subprocess.STDOUT)
     # record codebook health from the final valid epoch line
@@ -174,15 +220,15 @@ compute_dtype: bfloat16
         _put("ssl_pretrain", diag)
 
 
-def _sub_data_yaml():
-    return _write_yaml(f"{HERE}/conf/data_sub.yaml", f"""vocab_file: data/dict/vocab_char.txt
+def _sub_data_yaml(sub_name="train_sub"):
+    return _write_yaml(f"{HERE}/conf/data_{sub_name}.yaml", f"""vocab_file: data/dict/vocab_char.txt
 global_cmvn: data/fbank/cmvn.ark
 
 train_paths:
-  - name: train_sub
-    scp_path: data/train_sub/feats.scp
-    text_label: data/train_sub/token_char.scp
-    utt2num_frames: data/train_sub/utt2num_frames
+  - name: {sub_name}
+    scp_path: data/{sub_name}/feats.scp
+    text_label: data/{sub_name}/token_char.scp
+    utt2num_frames: data/{sub_name}/utt2num_frames
 
 dev_paths:
   - name: dev
@@ -247,35 +293,45 @@ def _score(key, hyps):
 
 
 def stage_ft():
-    data_yaml = _sub_data_yaml()
-    # YAML wins over CLI flags (reference resolution order), so the reduced
-    # epoch budget must live in a derived train config, not in --epochs
+    """SSL-init vs from-scratch at EQUAL fine-tune budgets (the
+    reference's encoder-init workflow: run_hubert.sh +
+    cassnat_task.py:62-83).
+
+    Arm matrix (all through bin/train_asr):
+      100 utts x 30 ep (~210 steps): ft_scratch / ft_ssl_init
+      25 utts x 160 ep (~320 steps): ft_scratch_25 / ft_ssl_init_25
+      25-utt FROZEN-encoder probes (fix_encoder, encoder+src_embed only;
+        the CTC/decoder heads train): ft_probe_ssl_25 vs ft_probe_rand_25
+        — the WER gap measures pretrained-feature quality directly,
+        independent of fine-tune dynamics.
+    Every arm shares one schedule, with warmup shortened to 100 steps
+    (the stock 800 would span the entire budget at these sizes).
+    """
+    ssl_ckpt = os.path.join(SSL_EXP, "best_model.ckpt")
     base = open(f"{HERE}/conf/cassnat_train.yaml").read()
-    train_yaml = _write_yaml(
-        f"{HERE}/conf/cassnat_sub.yaml",
-        base + f"\n# low-resource fine-tune budget (duplicate keys: last"
-               f" wins)\nepochs: {FT_EPOCHS}\nstart_saving_epoch: 0\n")
-    # SSL-init transfer is NEGATIVE on this corpus at this pretrain budget
-    # (the synthetic speech is trivially learnable from 100 labeled utts,
-    # and a 3k-update contrastive pretrain leaves features a frozen CTC
-    # probe cannot separate): at the scratch arm's 30-epoch budget the
-    # SSL-init arm sits at ~94% WER with the reference's plain-noam
-    # fine-tune (ft_ssl_init_fulllr) and ~97% with a fairseq-style
-    # freeze-then-slow-encoder MulNoam (ft_ssl_init_mulnoam) — both kept in
-    # family_results.json as ablations. The headline ssl arm therefore runs
-    # the reference's shipped single-group recipe to convergence (3x the
-    # epochs) to show the transplanted pipeline trains through.
-    ssl_yaml = _write_yaml(
-        f"{HERE}/conf/cassnat_sub_ssl.yaml",
-        open(train_yaml).read()
-        + "\n# SSL-init arm: 3x budget (negative transfer at 30 epochs —"
-          " see family_results.json ablations)\nepochs: 90\n")
+
+    def ft_yaml(tag, epochs, extra=""):
+        return _write_yaml(
+            f"{HERE}/conf/cassnat_{tag}.yaml",
+            base + f"\n# low-resource fine-tune budget (duplicate keys:"
+                   f" last wins)\nepochs: {epochs}\n"
+                   f"start_saving_epoch: 0\nwarmup_steps: 100\n" + extra)
+
+    probe = ("fix_encoder: True\n"
+             "encoder_group_subtrees: [src_embed, encoder]\n")
+    y100 = ft_yaml("sub", FT_EPOCHS)
+    y25 = ft_yaml("sub25", 160)
+    y25_probe = ft_yaml("sub25_probe", 160, probe)
+    d100, d25 = _sub_data_yaml("train_sub"), _sub_data_yaml("train_sub25")
     runs = {
-        "ft_scratch": ("", train_yaml),
-        "ft_ssl_init": (os.path.join(SSL_EXP, "best_model.ckpt"),
-                        ssl_yaml),
+        "ft_scratch": ("", y100, d100),
+        "ft_ssl_init": (ssl_ckpt, y100, d100),
+        "ft_scratch_25": ("", y25, d25),
+        "ft_ssl_init_25": (ssl_ckpt, y25, d25),
+        "ft_probe_rand_25": ("", y25_probe, d25),
+        "ft_probe_ssl_25": (ssl_ckpt, y25_probe, d25),
     }
-    for name, (resume, yaml_path) in runs.items():
+    for name, (resume, yaml_path, data_yaml) in runs.items():
         exp = os.path.join(HERE, "exp", name)
         if not os.path.exists(os.path.join(exp, "best_model.ckpt")):
             _train_cli("cassnat", exp, yaml_path, data_yaml, FT_EPOCHS,
@@ -406,6 +462,15 @@ compute_dtype: bfloat16
         _train_cli("hubert", exp, train_yaml, data_yaml, 40)
     hyps = _decode("hubert", exp, train_yaml, data_yaml, {})
     _score("hubert_greedy", hyps)
+    # ESA decode, the reference's hubert decode config (run_hubert.sh
+    # decode stage: decode_type esa_att, s_num 50, threshold 0.9 + rank
+    # model — the LM-rank flavor, WER-validated in WER_PARITY*.md)
+    hyps = _decode("hubert", exp, train_yaml, data_yaml,
+                   dict(decode_type="esa_att", sample_num=50,
+                        threshold=0.9, rank_model="lm",
+                        lm_config=LM_YAML,
+                        rnnlm=os.path.join(LM_EXP, "best_model.ckpt")))
+    _score("hubert_esa_lm_50", hyps)
 
 
 def stage_report():
@@ -422,32 +487,43 @@ def stage_report():
         "",
         "## SSL: wav2vec2 pretrain -> CASS-NAT encoder init",
         "",
-        f"wav2vec2 (conformer, d144) pretrained on all 1,200 unlabeled",
-        f"train utterances (bin/train_ssl), then a CASS-NAT is trained on",
-        f"a {SUBSET_N}-utt labeled subset for {FT_EPOCHS} epochs with the",
-        "SSL encoder transplanted (resume_model -> src_embed+encoder),",
-        "against a from-scratch control at the identical budget",
+        f"wav2vec2 (conformer, d144) pretrained on {UNLAB_N:,} unlabeled",
+        "utterances (audio only, bin/train_ssl; ~15k contrastive",
+        "updates), then transplanted into a CASS-NAT",
+        "(resume_model -> src_embed+encoder) and fine-tuned on labeled",
+        "subsets against from-scratch controls at IDENTICAL budgets",
         "(reference workflow: run_hubert.sh encoder-init fine-tuning).",
+        "The frozen-encoder probe pair trains only the CTC/decoder heads",
+        "on top of a frozen encoder (fix_encoder), so its gap measures",
+        "pretrained-feature quality directly.",
         "",
-        "| run | test WER % |",
-        "|---|---|",
+        "| labeled budget | arm | test WER % |",
+        "|---|---|---|",
     ]
-    ft_rows = (("ft_scratch", "30 ep"), ("ft_ssl_init", "90 ep"),
-               ("ft_ssl_init_fulllr", "30 ep"),
-               ("ft_ssl_init_mulnoam", "30 ep, freeze+slow enc"))
-    for k, note in ft_rows:
+    ft_rows = (
+        (f"{SUBSET_N} utts x {FT_EPOCHS} ep", "ft_scratch"),
+        (f"{SUBSET_N} utts x {FT_EPOCHS} ep", "ft_ssl_init"),
+        (f"{SUBSET25_N} utts x 160 ep", "ft_scratch_25"),
+        (f"{SUBSET25_N} utts x 160 ep", "ft_ssl_init_25"),
+        (f"{SUBSET25_N} utts x 160 ep, frozen enc", "ft_probe_rand_25"),
+        (f"{SUBSET25_N} utts x 160 ep, frozen enc", "ft_probe_ssl_25"),
+    )
+    for budget, k in ft_rows:
         if k in res:
-            lines.append(f"| {k} ({note}) | {res[k]['wer']:.2f} |")
-    if "ft_ssl_init_fulllr" in res:
-        lines += ["", "Transfer is NEGATIVE at the scratch budget: this"
-                  " synthetic corpus is trivially learnable from 100"
-                  " labeled utterances, and the 3k-update contrastive"
-                  " pretrain leaves features a frozen CTC probe cannot"
-                  " separate (the freeze+slow-encoder MulNoam arm is the"
-                  " probe), so the encoder must re-learn and any slowdown"
-                  " hurts. The headline ssl arm runs the reference's"
-                  " shipped single-group recipe to convergence instead;"
-                  " the two 30-epoch arms are kept as the ablation record."]
+            lines.append(f"| {budget} | {k} | {res[k]['wer']:.2f} |")
+    pairs = [("ft_scratch", "ft_ssl_init"),
+             ("ft_scratch_25", "ft_ssl_init_25"),
+             ("ft_probe_rand_25", "ft_probe_ssl_25")]
+    verdicts = []
+    for a, b in pairs:
+        if a in res and b in res:
+            d = res[a]["wer"] - res[b]["wer"]
+            verdicts.append(f"{b} vs {a}: "
+                            f"{'+' if d >= 0 else ''}{d:.2f} abs "
+                            f"({'SSL wins' if d > 0 else 'scratch wins'})")
+    if verdicts:
+        lines += ["", "Deltas (positive = SSL init better): "
+                  + "; ".join(verdicts) + "."]
     if "ssl_pretrain" in res:
         d = res["ssl_pretrain"]
         lines += ["", f"SSL codebook health at the final epoch: valid "
@@ -480,6 +556,9 @@ def stage_report():
     ]
     if "hubert_greedy" in res:
         lines.append(f"| hubert_greedy | {res['hubert_greedy']['wer']:.2f} |")
+    if "hubert_esa_lm_50" in res:
+        lines.append(f"| hubert_esa_lm_50 (s_num=50 thr=0.9, LM rank) | "
+                     f"{res['hubert_esa_lm_50']['wer']:.2f} |")
     lines += ["",
               f"Generated {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}"
               " by egs/synth/run_family_e2e.py."]

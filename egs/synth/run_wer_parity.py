@@ -24,6 +24,7 @@ Run from egs/synth:  python run_wer_parity.py [--stage N] [--end_stage M]
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -42,6 +43,7 @@ VARIANT = os.environ.get("CASSNAT_SYNTH_VARIANT", "")
 S = f"_{VARIANT}" if VARIANT else ""
 DATA = os.path.join(HERE, f"data{S}")
 EXP = os.path.join(HERE, "exp", f"cassnat{S}")
+AST_EXP = os.path.join(HERE, "exp", f"ast{S}")  # at_baseline ranker
 LM_EXP = os.path.join(HERE, "exp", f"lm{S}")
 REPORT = os.path.join(REPO, f"WER_PARITY{S.upper()}.md")
 DATA_YAML = os.path.join(HERE, "conf", f"data{S}.yaml")
@@ -88,7 +90,12 @@ def pieces_to_words(pieces):
 def stage_data():
     cmd = [sys.executable, "local/prepare_synth_speech.py", "--out", DATA]
     if VARIANT == "hard":
-        cmd.append("--hard")
+        # 600 test utts (vs 150 on the base variant): the hard variant's
+        # whole purpose is measuring 0.1-0.2-abs ranking deltas, and at 150
+        # utts (825 words) one flipped utterance is already 0.12 abs. The
+        # test split is generated last from the shared RNG stream, so
+        # train/dev stay byte-identical and test[:150] == the old test set.
+        cmd += ["--hard", "--n_test", "600"]
     sh(cmd)
     # variant data config: same keys as conf/data.yaml, pointing at the
     # variant's data dir (relative to egs/synth, like the base config)
@@ -136,23 +143,43 @@ def stage_tokens():
     print(f"vocab: {len(units)} units + 4 reserved")
 
 
-def stage_lm():
-    # char-LM corpus = the tokenized training transcripts (utt-id format)
-    os.makedirs(LM_EXP, exist_ok=True)
-    with open(LM_YAML, "w") as f:
+# Ranking-LM capacity ladder (VERDICT r3 item 1a): besides the default
+# 2L/d128 char LM, train the two architectures bench.py times at
+# deployment shape — the reference's lm.yaml (16L/d512/ff2048/h8,
+# /root/reference/egs/librispeech/conf/lm.yaml) and the proposed small
+# 4L ranking LM — so "a small LM ranks as well as the reference-size
+# LM" is WER-validated on both parity variants before bench.py ships it.
+RANK_LMS = {
+    "small4": dict(N=4, d_model=512, d_ff=2048, n_head=8,
+                   learning_rate=3.0e-4, epochs=40),
+    "big16": dict(N=16, d_model=512, d_ff=2048, n_head=8,
+                  learning_rate=1.5e-4, epochs=40),
+}
+
+
+def lm_paths(name=None):
+    """(yaml, exp_dir) for a ranking LM; None = the default 2L/d128."""
+    if name is None:
+        return LM_YAML, LM_EXP
+    return (os.path.join(HERE, "conf", f"lm_{name}{S}.yaml"),
+            os.path.join(HERE, "exp", f"lm_{name}{S}"))
+
+
+def _write_lm_yaml(path, n, d_model, d_ff, n_head, lr, epochs):
+    with open(path, "w") as f:
         f.write(f"""model_type: uniLM
-N: 2
-d_model: 128
-d_ff: 512
-n_head: 4
+N: {n}
+d_model: {d_model}
+d_ff: {d_ff}
+n_head: {n_head}
 dropout: 0.1
 vocab_size: 19
 padding_idx: 0
 batch_size: 64
 max_len: 120
-epochs: 25
+epochs: {epochs}
 print_freq: 50
-learning_rate: 0.001
+learning_rate: {lr}
 noam_factor: 0.3
 warmup_steps: 400
 warmup_type: noam_warmup
@@ -162,10 +189,27 @@ train_text: {DATA}/train/token_char.scp
 dev_text: {DATA}/dev/token_char.scp
 vocab_file: {DATA}/dict/vocab_char.txt
 """)
-    sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.lm_train",
-        "--exp_dir", LM_EXP, "--train_config", LM_YAML,
-        "--data_config", LM_YAML,
-        "--optim_type", "normal", "--epochs", "25", "--task", "lm"])
+
+
+def stage_lm():
+    # char-LM corpus = the tokenized training transcripts (utt-id format)
+    jobs = [(None, dict(N=2, d_model=128, d_ff=512, n_head=4,
+                        learning_rate=1.0e-3, epochs=25))]
+    jobs += [(name, shape) for name, shape in RANK_LMS.items()]
+    for name, shape in jobs:
+        yaml_path, exp = lm_paths(name)
+        if os.path.exists(os.path.join(exp, "best_model.ckpt")):
+            print(f"[lm] {exp} already trained, skipping", flush=True)
+            continue
+        os.makedirs(exp, exist_ok=True)
+        _write_lm_yaml(yaml_path, shape["N"], shape["d_model"],
+                       shape["d_ff"], shape["n_head"],
+                       shape["learning_rate"], shape["epochs"])
+        sh([sys.executable, "-m", "cassnat_asr_public_tpu.bin.lm_train",
+            "--exp_dir", exp, "--train_config", yaml_path,
+            "--data_config", yaml_path,
+            "--optim_type", "normal", "--epochs", str(shape["epochs"]),
+            "--task", "lm"])
 
 
 def stage_train():
@@ -229,7 +273,45 @@ DECODE_MODES = {
     "esa_lm_50_2phase": dict(decode_type="esa_att", sample_num=50,
                              threshold=0.9, rank_model="lm",
                              esa_two_phase=True, esa_rank_dedup=8),
+    # ---- ranking-LM capacity ladder (VERDICT r3 item 1a): the same ESA
+    # decode ranked by the reference-shaped 16L/d512 LM vs the proposed
+    # small 4L/d512 LM (the architectures bench.py times). rank_lm is a
+    # harness pseudo-key resolved to lm_config/rnnlm in stage_decode.
+    "esa_small4_50": dict(decode_type="esa_att", sample_num=50,
+                          threshold=0.9, rank_model="lm",
+                          rank_lm="small4"),
+    "esa_small4_topk16": dict(decode_type="esa_att", sample_num=50,
+                              threshold=0.9, rank_model="lm",
+                              rank_lm="small4", esa_topk=16),
+    "esa_small4_topk8": dict(decode_type="esa_att", sample_num=50,
+                             threshold=0.9, rank_model="lm",
+                             rank_lm="small4", esa_topk=8),
+    "esa_big16_50": dict(decode_type="esa_att", sample_num=50,
+                         threshold=0.9, rank_model="lm", rank_lm="big16"),
+    "esa_big16_topk8": dict(decode_type="esa_att", sample_num=50,
+                            threshold=0.9, rank_model="lm", rank_lm="big16",
+                            esa_topk=8),
+    # ---- AT-baseline ranking (VERDICT r3 item 3): the trained AST-
+    # Conformer (run_ar_parity.py) scores each candidate with its own
+    # decoder — the config the reference's published NAST numbers decode
+    # with (reference run_hubert.sh:100-120, cassnat.py:509-515,
+    # conf/rank_model.yaml).
+    "esa_at_50": dict(decode_type="esa_att", sample_num=50, threshold=0.9,
+                      rank_model="at_baseline"),
+    "esa_at_topk8": dict(decode_type="esa_att", sample_num=50,
+                         threshold=0.9, rank_model="at_baseline",
+                         esa_topk=8),
 }
+
+
+def _identity_pairs():
+    """(mode, same-ranker full-50 base) for every preselection mode."""
+    pairs = []
+    for mode in DECODE_MODES:
+        m = re.match(r"(esa_[a-z0-9]+)_top[km]", mode)
+        if m:
+            pairs.append((mode, f"{m.group(1)}_50"))
+    return pairs
 
 
 def stage_decode():
@@ -248,8 +330,19 @@ def stage_decode():
         if only and mode not in only:
             continue
         if over.get("rank_model") == "lm":
-            over = dict(over, lm_config=LM_YAML,
-                        rnnlm=os.path.join(LM_EXP, "best_model.ckpt"))
+            lm_yaml, lm_exp = lm_paths(over.pop("rank_lm", None))
+            over = dict(over, lm_config=lm_yaml,
+                        rnnlm=os.path.join(lm_exp, "best_model.ckpt"))
+        elif over.get("rank_model") == "at_baseline":
+            at_ckpt = os.path.join(AST_EXP, "best_model.ckpt")
+            if not os.path.exists(at_ckpt):
+                print(f"[{mode}] SKIP: no AST ranker at {at_ckpt} "
+                      "(run run_ar_parity.py stage 1 first)", flush=True)
+                continue
+            over = dict(over,
+                        rank_config=os.path.join(HERE, "conf",
+                                                 "ast_train.yaml"),
+                        rank_model_path=at_ckpt)
         task, cfg = _load_task(over)
         t0 = time.time()
         hyps_raw, elapsed = task.decode(cfg)
@@ -272,22 +365,19 @@ def stage_decode():
     assert abs(results["esa_lm_50"]["wer"]
                - results["esa_lm_50_2phase"]["wer"]) < 1e-9, \
         "two-phase decode changed the ESA WER"
-    # topk preselection: report hypothesis agreement vs the full-50 decode
-    full = f"{hyp_dir}/esa_lm_50.json"
-    if os.path.exists(full):
+    # topk/topm preselection: report hypothesis agreement vs the same-
+    # ranker full-50 decode (esa_<fam>_topk8 is compared to esa_<fam>_50)
+    for mode, base in _identity_pairs():
+        fp, full = f"{hyp_dir}/{mode}.json", f"{hyp_dir}/{base}.json"
+        if not (os.path.exists(fp) and os.path.exists(full)):
+            continue
         with open(full) as f:
             base_h = json.load(f)
-        for mode in DECODE_MODES:
-            if not mode.startswith(("esa_lm_topk", "esa_lm_topm")):
-                continue
-            fp = f"{hyp_dir}/{mode}.json"
-            if not os.path.exists(fp):
-                continue
-            with open(fp) as f:
-                h = json.load(f)
-            same = sum(1 for u in base_h if h.get(u) == base_h[u])
-            print(f"[{mode}] hyp identity vs esa_lm_50: "
-                  f"{same}/{len(base_h)} utts", flush=True)
+        with open(fp) as f:
+            h = json.load(f)
+        same = sum(1 for u in base_h if h.get(u) == base_h[u])
+        print(f"[{mode}] hyp identity vs {base}: "
+              f"{same}/{len(base_h)} utts", flush=True)
 
 
 def stage_stats():
@@ -331,17 +421,38 @@ def stage_stats():
 
 def stage_reference():
     """Reference torch CassNAT decoding the SAME features with the SAME
-    (transplanted) weights — ESA decode, reference code path."""
+    (transplanted) weights — ESA decode, reference code path. Arms mirror
+    the repo ladder: 2L-LM rank, small-4L-LM rank (capacity ladder), and
+    at_baseline rank (the reference's published decode config)."""
     sys.path.insert(0, HERE)
     from flax_to_ref import reference_esa_decode
     refs = read_text(f"{DATA}/test/text")
     out = {}
-    for name, kw in (
-            ("reference_bestpath_1", dict(rank_model="none", sample_num=1)),
-            ("reference_esa_lm_50", dict(rank_model="lm", sample_num=50,
-                                         lm_exp=LM_EXP))):
+    if os.path.exists(REFERENCE_RESULTS):
+        with open(REFERENCE_RESULTS) as f:
+            out = json.load(f)
+    only = os.environ.get("CASSNAT_PARITY_MODES")
+    only = set(only.split(",")) if only else None
+    arms = [
+        ("reference_bestpath_1", dict(rank_model="none", sample_num=1)),
+        ("reference_esa_lm_50", dict(rank_model="lm", sample_num=50,
+                                     lm_exp=LM_EXP)),
+        ("reference_esa_small4_50",
+         dict(rank_model="lm", sample_num=50, lm_exp=lm_paths("small4")[1],
+              lm_shape={k: RANK_LMS["small4"][k]
+                        for k in ("N", "d_model", "d_ff", "n_head")})),
+    ]
+    if os.path.exists(os.path.join(AST_EXP, "best_model.ckpt")):
+        arms.append(("reference_esa_at_50",
+                     dict(rank_model="at_baseline", sample_num=50,
+                          at_exp=AST_EXP)))
+    for name, kw in arms:
+        if only and name not in only:
+            continue
+        t0 = time.time()
         hyps = reference_esa_decode(EXP, DATA, HERE, **kw)
         rep = wer(refs, {u: pieces_to_words(p) for u, p in hyps.items()})
+        rep["elapsed_s"] = round(time.time() - t0, 1)
         out[name] = rep
         print(f"[{name}] WER {rep['wer']:.2f}%", flush=True)
     with open(REFERENCE_RESULTS, "w") as f:
@@ -380,21 +491,19 @@ def stage_report():
         "| decode | WER % | notes |",
         "|---|---|---|",
     ]
-    # hypothesis-identity vs the full-50 ESA decode, from the saved hyps
+    # hypothesis-identity vs the same-ranker full-50 decode, from the hyps
     identity = {}
-    full_fp = f"{HYP_DIR}/esa_lm_50.json"
-    if os.path.exists(full_fp):
+    for mode, base in _identity_pairs():
+        fp, full_fp = f"{HYP_DIR}/{mode}.json", f"{HYP_DIR}/{base}.json"
+        if not (os.path.exists(fp) and os.path.exists(full_fp)):
+            continue
         with open(full_fp) as f:
             base_h = json.load(f)
-        for mode in res:
-            fp = f"{HYP_DIR}/{mode}.json"
-            if mode.startswith(("esa_lm_topk", "esa_lm_topm")) and \
-                    os.path.exists(fp):
-                with open(fp) as f:
-                    h = json.load(f)
-                same = sum(1 for u in base_h if h.get(u) == base_h[u])
-                identity[mode] = f"; {same}/{len(base_h)} hyps " \
-                    "identical to esa_lm_50"
+        with open(fp) as f:
+            h = json.load(f)
+        same = sum(1 for u in base_h if h.get(u) == base_h[u])
+        identity[mode] = f"; {same}/{len(base_h)} hyps " \
+            f"identical to {base}"
     for mode, rep in res.items():
         lines.append(f"| {mode} | {rep['wer']:.2f} | "
                      f"{rep['n_words']} ref words{identity.get(mode, '')} |")
@@ -403,12 +512,10 @@ def stage_report():
                      "same weights, same audio |")
     # AR (AST) arm, produced by run_ar_parity.py on its own trained
     # AST-Conformer — merged here so WER_PARITY.md stays single-source
-    # (base variant only; the AR arm isn't retrained per-variant)
     try:
-        assert not VARIANT
-        ar_res = json.load(open(f"{HERE}/ar_results.json"))
-        ar_ref = json.load(open(f"{HERE}/ar_reference_results.json"))
-    except (FileNotFoundError, AssertionError):
+        ar_res = json.load(open(f"{HERE}/ar_results{S}.json"))
+        ar_ref = json.load(open(f"{HERE}/ar_reference_results{S}.json"))
+    except FileNotFoundError:
         ar_res, ar_ref = {}, {}
     if ar_res:
         lines += [
