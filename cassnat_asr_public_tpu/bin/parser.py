@@ -20,6 +20,9 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--resume_model", default="")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--pipeline_parallel", type=int, default=1)
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches (0 = pipe-stage count)")
     return p
 
 

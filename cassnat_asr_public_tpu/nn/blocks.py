@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cassnat_asr_public_tpu.parallel.mesh import constrain_activation
+from cassnat_asr_public_tpu.parallel.mesh import (constrain_activation,
+                                                  pipe_config)
 from cassnat_asr_public_tpu.nn.modules import (
     ConvModule,
     LayerNorm,
@@ -89,6 +90,9 @@ class TrfEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, interctc_layer: int = 0, deterministic=True):
+        pp = self._pipelined(x, mask, interctc_layer, deterministic)
+        if pp is not None:
+            return LayerNorm(name="norm")(pp), None
         layer_cls = TrfEncoderLayer
         if self.remat:
             layer_cls = nn.remat(TrfEncoderLayer, static_argnums=(3,))
@@ -102,6 +106,35 @@ class TrfEncoder(nn.Module):
                 inter = x
         x = LayerNorm(name="norm")(x)
         return (x, inter) if interctc_layer > 0 else (x, None)
+
+    def _pipelined(self, x, mask, interctc_layer, deterministic):
+        """Layer stack over the global mesh's 'pipe' axis (GPipe schedule,
+        parallel/pipeline.py) — config `pipeline_parallel`, activated
+        through set_global_mesh by the task driver. Falls back to the
+        sequential loop during init, with interCTC taps, with dropout
+        active (per-stage rng plumbing isn't worth the complexity), or
+        when the batch doesn't tile (n_mb x data)."""
+        mesh, n_stage, n_mb = pipe_config()
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        if (mesh is None or self.is_initializing() or interctc_layer > 0
+                or self.n_layers % n_stage != 0
+                or x.shape[0] % (n_mb * n_data) != 0
+                or (self.dropout > 0 and not deterministic)):
+            return None
+        print(f"[pp] encoder layer stack pipelined: {self.n_layers} layers "
+              f"over {n_stage} stages x {n_mb} microbatches", flush=True)
+        lp = [self.variables["params"][f"layer{i}"]
+              for i in range(self.n_layers)]
+        tpl = TrfEncoderLayer(self.d_model, self.n_head, self.d_ff,
+                              self.dropout, self.compute_dtype)
+        consts = () if mask is None else (mask,)
+
+        def apply_one(p, h, *cs):
+            return tpl.apply({"params": p}, h, cs[0] if cs else None, True)
+
+        from cassnat_asr_public_tpu.parallel.pipeline import \
+            pipeline_layer_stack
+        return pipeline_layer_stack(lp, apply_one, x, consts, mesh, n_mb)
 
 
 class ConEncoderLayer(nn.Module):
@@ -167,6 +200,10 @@ class ConEncoder(nn.Module):
             x, pos_embed = x
         else:
             pos_embed = None
+        pp = self._pipelined(x, mask, pos_embed, interctc_layer,
+                             deterministic)
+        if pp is not None:
+            return LayerNorm(name="norm")(pp), None
         layer_cls = ConEncoderLayer
         if self.remat:
             layer_cls = nn.remat(ConEncoderLayer, static_argnums=(4,))
@@ -182,6 +219,43 @@ class ConEncoder(nn.Module):
                 inter = x
         x = LayerNorm(name="norm")(x)
         return (x, inter) if interctc_layer > 0 else (x, None)
+
+    def _pipelined(self, x, mask, pos_embed, interctc_layer, deterministic):
+        """Conformer layer stack over the global mesh's 'pipe' axis — see
+        TrfEncoder._pipelined. The compact relative-PE table (2R+1, d) is
+        broadcast to batch so it can ride the microbatched pipeline; each
+        stage reads row 0 back out (all rows identical)."""
+        mesh, n_stage, n_mb = pipe_config()
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        if (mesh is None or self.is_initializing() or interctc_layer > 0
+                or self.n_layers % n_stage != 0
+                or x.shape[0] % (n_mb * n_data) != 0
+                or (self.dropout > 0 and not deterministic)):
+            return None
+        print(f"[pp] encoder layer stack pipelined: {self.n_layers} layers "
+              f"over {n_stage} stages x {n_mb} microbatches", flush=True)
+        lp = [self.variables["params"][f"layer{i}"]
+              for i in range(self.n_layers)]
+        tpl = ConEncoderLayer(self.d_model, self.n_head, self.d_ff,
+                              self.kernel_size, self.dropout, self.pos_type,
+                              self.share_ff,
+                              compute_dtype=self.compute_dtype)
+        consts = [] if mask is None else [mask]
+        pe_idx = None
+        if pos_embed is not None:
+            pe_idx = len(consts)
+            consts.append(jnp.broadcast_to(
+                pos_embed[None], (x.shape[0],) + pos_embed.shape))
+
+        def apply_one(p, h, *cs):
+            m = cs[0] if mask is not None else None
+            pe = cs[pe_idx][0] if pe_idx is not None else None
+            return tpl.apply({"params": p}, h, m, pe, True)
+
+        from cassnat_asr_public_tpu.parallel.pipeline import \
+            pipeline_layer_stack
+        return pipeline_layer_stack(lp, apply_one, x, tuple(consts), mesh,
+                                    n_mb)
 
 
 class TrfDecoderLayer(nn.Module):

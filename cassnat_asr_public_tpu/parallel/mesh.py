@@ -50,14 +50,19 @@ def distributed_init():
                 raise
 
 
-def make_mesh(data: Optional[int] = None, model: int = 1,
+def make_mesh(data: Optional[int] = None, model: int = 1, pipe: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """('data', 'model') mesh. data defaults to n_devices // model."""
+    """('data', 'model'[, 'pipe']) mesh. data defaults to the remaining
+    devices. The pipe axis is only materialized when pipe > 1 (config
+    `pipeline_parallel`), keeping the common 2-axis shape otherwise."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // model
-    assert data * model == len(devices), \
-        f"{data}x{model} != {len(devices)} devices"
+        data = len(devices) // (model * pipe)
+    assert data * model * pipe == len(devices), \
+        f"{data}x{model}x{pipe} != {len(devices)} devices"
+    if pipe > 1:
+        dev_array = np.asarray(devices).reshape(data, model, pipe)
+        return Mesh(dev_array, ("data", "model", "pipe"))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
@@ -182,6 +187,34 @@ def set_global_mesh(mesh: Optional[Mesh]):
     """Install (or clear) the mesh used for activation constraints."""
     global _GLOBAL_MESH
     _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Optional[Mesh]:
+    """The mesh installed by set_global_mesh (None outside SPMD tasks)."""
+    return _GLOBAL_MESH
+
+
+_PIPE_MICROBATCHES = 0
+
+
+def set_pipe_microbatches(n: int):
+    """Microbatch count for the pipelined encoder path (config
+    `pp_microbatches`; 0 -> default to the pipe-axis size)."""
+    global _PIPE_MICROBATCHES
+    _PIPE_MICROBATCHES = int(n)
+
+
+def pipe_config() -> tuple:
+    """(mesh, n_stage, n_mb) when a pipe axis is active, else
+    (None, 1, 1) — consumed by the encoders' pipelined layer path."""
+    mesh = _GLOBAL_MESH
+    if mesh is None:
+        return None, 1, 1
+    n_stage = mesh.shape.get("pipe", 1)
+    if n_stage <= 1:
+        return None, 1, 1
+    n_mb = _PIPE_MICROBATCHES or n_stage
+    return mesh, n_stage, n_mb
 
 
 def constrain_activation(x, batch_axis: str = "data"):

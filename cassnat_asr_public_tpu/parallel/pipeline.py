@@ -58,13 +58,18 @@ def pipeline_apply(stacked_params, stage_fn: Callable, x_mb, mesh: Mesh,
                    axis: str = "pipe", batch_axis: str = None):
     """Run the staged computation over the pipeline mesh axis.
 
-    stacked_params leaves: (S, ...) sharded over `axis`; x_mb: (M, mb, ...)
-    with M microbatches (replicated over `axis`); returns (M, mb, ...)
-    outputs, replicated over `axis`. If `batch_axis` names a mesh axis,
-    the mb dim is additionally data-sharded over it (DP x PP).
+    stacked_params leaves: (S, ...) sharded over `axis`; x_mb: a pytree
+    (commonly a single array, or e.g. an (activation, mask) tuple) whose
+    leaves are (M, mb, ...) with M microbatches (replicated over `axis`);
+    stage_fn(params_one_stage, x) must return a pytree of the SAME
+    structure and leaf shapes (pass-through leaves like masks ride the
+    ppermute unchanged). Returns the (M, mb, ...) outputs, replicated
+    over `axis`. If `batch_axis` names a mesh axis, the mb dims are
+    additionally data-sharded over it (DP x PP).
     """
+    tmap = jax.tree_util.tree_map
     n_stage = mesh.shape[axis]
-    n_mb = x_mb.shape[0]
+    n_mb = jax.tree_util.tree_leaves(x_mb)[0].shape[0]
     assert all(
         leaf.shape[0] == n_stage
         for leaf in jax.tree_util.tree_leaves(stacked_params)), \
@@ -72,7 +77,7 @@ def pipeline_apply(stacked_params, stage_fn: Callable, x_mb, mesh: Mesh,
 
     def per_device(params_slice, xs):
         # shard_map hands each device a (1, ...) slice of every leaf
-        local = jax.tree_util.tree_map(lambda l: l[0], params_slice)
+        local = tmap(lambda l: l[0], params_slice)
         stage = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
 
@@ -80,36 +85,85 @@ def pipeline_apply(stacked_params, stage_fn: Callable, x_mb, mesh: Mesh,
             y_prev, outs = carry
             # neighbours hand over last tick's activation (stage s reads
             # what stage s-1 produced at t-1 == microbatch t-s)
-            recv = jax.lax.ppermute(y_prev, axis, perm)
-            feed = jax.lax.dynamic_index_in_dim(
-                xs, jnp.minimum(t, n_mb - 1), 0, keepdims=False)
-            x_in = jnp.where(stage == 0, feed, recv)
+            recv = tmap(lambda l: jax.lax.ppermute(l, axis, perm), y_prev)
+            feed = tmap(
+                lambda l: jax.lax.dynamic_index_in_dim(
+                    l, jnp.minimum(t, n_mb - 1), 0, keepdims=False), xs)
+            x_in = tmap(lambda f, r: jnp.where(stage == 0, f, r),
+                        feed, recv)
             y = stage_fn(local, x_in)
             out_idx = t - (n_stage - 1)
             valid = (stage == n_stage - 1) & (out_idx >= 0)
-            upd = jax.lax.dynamic_update_index_in_dim(
-                outs, y, jnp.clip(out_idx, 0, n_mb - 1), 0)
-            outs = jnp.where(valid, upd, outs)
+            upd = tmap(
+                lambda o, yl: jax.lax.dynamic_update_index_in_dim(
+                    o, yl, jnp.clip(out_idx, 0, n_mb - 1), 0), outs, y)
+            outs = tmap(lambda o, u: jnp.where(valid, u, o), outs, upd)
             return (y, outs), None
 
-        y0 = jnp.zeros_like(xs[0])
-        outs0 = jnp.zeros_like(xs)
+        y0 = tmap(lambda l: jnp.zeros_like(l[0]), xs)
+        outs0 = tmap(jnp.zeros_like, xs)
         (_, outs), _ = jax.lax.scan(tick, (y0, outs0),
                                     jnp.arange(n_mb + n_stage - 1))
         # only the last stage holds real outputs; psum broadcasts them
-        outs = jax.lax.psum(
-            jnp.where(stage == n_stage - 1, outs, jnp.zeros_like(outs)),
-            axis)
+        outs = tmap(
+            lambda o: jax.lax.psum(
+                jnp.where(stage == n_stage - 1, o, jnp.zeros_like(o)),
+                axis), outs)
         return outs
 
-    mb_rest = [None] * (x_mb.ndim - 2)
-    x_spec = P(None, batch_axis, *mb_rest)
+    x_specs = tmap(
+        lambda l: P(None, batch_axis, *([None] * (l.ndim - 2))), x_mb)
     return shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis), x_spec),
-        out_specs=x_spec,
+        in_specs=(P(axis), x_specs),
+        out_specs=x_specs,
         check_rep=False,
     )(stacked_params, x_mb)
+
+
+def pipeline_layer_stack(layer_params: Sequence, apply_one: Callable, x,
+                         consts: Sequence, mesh: Mesh, n_mb: int,
+                         axis: str = "pipe", batch_axis: str = "data"):
+    """Pipeline a homogeneous layer stack given PER-LAYER param subtrees.
+
+    The driver-integration entry point (config `pipeline_parallel`, see
+    tasks/base.py): encoders keep their standard per-layer parameter
+    layout (`layer{i}` subtrees, checkpoint-compatible with the
+    sequential path) and this helper stacks them on the fly, groups them
+    into `mesh.shape[axis]` stages of L/S consecutive layers, and runs
+    the GPipe schedule. Param STORAGE stays as the caller placed it
+    (replicated under pure DP); the shard_map in_spec slices each stage's
+    parameters onto its pipe device at step entry, so stage compute and
+    activation memory are partitioned over the pipe axis.
+
+    layer_params: list of L per-layer param subtrees (identical treedefs).
+    apply_one(p_layer, x, *consts) -> x' — one layer's functional apply.
+    x: (B, ...) activation; consts: (B, ...) arrays riding through
+    unchanged (attention masks, broadcast positional tables).
+    """
+    n_stage = mesh.shape[axis]
+    n_layers = len(layer_params)
+    assert n_layers % n_stage == 0, \
+        f"{n_layers} layers not divisible into {n_stage} pipe stages"
+    k = n_layers // n_stage
+    stacked = stack_stage_params(layer_params)  # leaves (L, ...)
+    stacked = jax.tree_util.tree_map(
+        lambda l: l.reshape(n_stage, k, *l.shape[1:]), stacked)
+    xs = tuple(microbatch(a, n_mb) for a in (x,) + tuple(consts))
+
+    def stage_fn(p_stage, xm):
+        h, cs = xm[0], xm[1:]
+
+        def body(hh, i):
+            p_i = jax.tree_util.tree_map(lambda l: l[i], p_stage)
+            return apply_one(p_i, hh, *cs), None
+
+        h, _ = jax.lax.scan(body, h, jnp.arange(k))
+        return (h,) + cs
+
+    out = pipeline_apply(stacked, stage_fn, xs, mesh, axis=axis,
+                         batch_axis=batch_axis)
+    return unmicrobatch(out[0])
 
 
 def microbatch(x, n_mb: int):
@@ -126,7 +180,8 @@ def unmicrobatch(y):
 
 def sequential_apply(stacked_params, stage_fn: Callable, x_mb):
     """Single-device oracle: the same staged computation run back-to-back
-    (what the pipeline must match exactly)."""
+    (what the pipeline must match exactly). x_mb may be a pytree like in
+    `pipeline_apply`."""
     n_stage = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
 
     def body(x, s):

@@ -65,15 +65,20 @@ class BaseTask:
         self.args = args
         self.rank = jax.process_index()
         self.world = jax.process_count()
-        self.mesh = make_mesh(model=getattr(args, "model_parallel", 1))
-        if self.mesh.shape.get("model", 1) > 1:
+        self.mesh = make_mesh(model=getattr(args, "model_parallel", 1),
+                              pipe=getattr(args, "pipeline_parallel", 1))
+        if self.mesh.shape.get("model", 1) > 1 \
+                or self.mesh.shape.get("pipe", 1) > 1:
             # activate the models' activation-sharding anchors (Megatron
             # pattern: residual stream data-sharded at layer boundaries,
-            # GSPMD derives the head-/ff-parallel intermediates); pure-DP
-            # and single-chip meshes leave constrain_activation a no-op —
-            # batch sharding alone propagates fine there
-            from cassnat_asr_public_tpu.parallel.mesh import set_global_mesh
+            # GSPMD derives the head-/ff-parallel intermediates) and the
+            # encoders' pipelined layer path (GPipe over the 'pipe' axis);
+            # pure-DP and single-chip meshes leave constrain_activation a
+            # no-op — batch sharding alone propagates fine there
+            from cassnat_asr_public_tpu.parallel.mesh import (
+                set_global_mesh, set_pipe_microbatches)
             set_global_mesh(self.mesh)
+            set_pipe_microbatches(getattr(args, "pp_microbatches", 0))
         self.vocab = Vocab(args.vocab_file) if getattr(
             args, "vocab_file", None) else None
         self.lm_model = None
@@ -87,6 +92,8 @@ class BaseTask:
             self.set_optimizer(args)
             self.set_dataloader(args)
             self.load_model(args)
+            if self.mesh.shape.get("model", 1) > 1:
+                self._shard_train_state()
         else:
             self.set_test_dataloader(args)
             self.load_test_model(args)
@@ -133,6 +140,42 @@ class BaseTask:
         elif getattr(args, "resume_model", ""):
             self.load_pretrained_model(args)
         self.model_stats()
+
+    def _shard_train_state(self):
+        """model_parallel > 1 at TRAIN time: place the params on the mesh
+        with the Megatron tensor-parallel rules (parallel/mesh.py) and
+        re-place the optimizer state to match (template = optimizer.init
+        on the placed params — adam moments inherit the param shardings;
+        restored values are device_put onto the template's layouts).
+        GSPMD propagates these shardings through the jitted train/eval
+        steps, so the production driver trains tensor-parallel with no
+        per-task changes (TPU-native replacement for the reference's
+        DDP-only scaling, SURVEY §2.7)."""
+        from cassnat_asr_public_tpu.parallel.mesh import \
+            param_sharding_rules
+        from cassnat_asr_public_tpu.parallel.mesh import replicated
+        rules = param_sharding_rules(self.state.params, self.mesh)
+        self.state.params = jax.tree_util.tree_map(
+            jax.device_put, self.state.params, rules)
+        if self.state.opt_state is not None:
+            template = jax.jit(self.optimizer.init)(self.state.params)
+            rep = replicated(self.mesh)
+
+            def place(t, v):
+                # param-shaped moments inherit the param shardings from
+                # init; template leaves that don't span the mesh (e.g.
+                # scalar step counters materialized as constants on one
+                # device) are replicated instead
+                sh = t.sharding
+                if len(getattr(sh, "device_set", ())) != self.mesh.size:
+                    sh = rep
+                return jax.device_put(jnp.asarray(v), sh)
+
+            self.state.opt_state = jax.tree_util.tree_map(
+                place, template, self.state.opt_state)
+        if self.rank == 0:
+            print(f"[tp] train state sharded over "
+                  f"model={self.mesh.shape['model']}", flush=True)
 
     def load_pretrained_model(self, args):
         state = ckpt.load_checkpoint(args.resume_model)
@@ -426,10 +469,15 @@ class BaseTask:
         every shard is non-empty (padding rows have empty masks/labels and
         contribute nothing to losses; WER metrics skip them)."""
         d = {k: v for k, v in batch.items() if k != "utts"}
-        n_data = self.mesh.shape["data"]
+        unit = self.mesh.shape["data"]
+        if self.mesh.shape.get("pipe", 1) > 1:
+            # the pipelined encoder needs B divisible by
+            # n_microbatches x data shards (parallel/pipeline.py)
+            from cassnat_asr_public_tpu.parallel.mesh import pipe_config
+            unit *= pipe_config()[2]
         bs = d["labels"].shape[0] if "labels" in d else \
             next(iter(d.values())).shape[0]
-        pad = (-bs) % n_data
+        pad = (-bs) % unit
         if pad:
             for k, v in d.items():
                 if isinstance(v, np.ndarray) and v.ndim >= 1 \
