@@ -1,17 +1,37 @@
 #!/usr/bin/env bash
 # Aishell-1 Mandarin char-level AST/NAST recipe (CER scoring).
 # Exercises the alternate vocab path (BASELINE.md Aishell numbers).
+#
+# Data-free validation: SYNTH=1 generates a synthetic char corpus
+# (local/prepare_synth_char.py — same learnable synthetic speech as
+# egs/synth, word boundaries dropped by the char tokenizer exactly as
+# for Mandarin) and the small conf/char_synth.yaml drives the identical
+# stages to a CER number (RESULTS_synth.md; tests/test_aishell_recipe.py
+# smokes the same path):
+#   SYNTH=1 TRAIN_CONF=conf/char_synth.yaml EPOCHS=30 AVG_NUM=5 \
+#     DECODE_CONF=conf/char_synth_decode.yaml bash run.sh --stage 0
 
 . ../librispeech/path.sh
 
 stage=1
 end_stage=4
-exp=exp/aishell_art
+exp=${EXP:-exp/aishell_art}
 data=./data
+train_conf=${TRAIN_CONF:-conf/char_transformer.yaml}
+decode_conf=${DECODE_CONF:-../librispeech/conf/decode.yaml}
+epochs=${EPOCHS:-80}
+avg_num=${AVG_NUM:-10}
+synth=${SYNTH:-0}
+synth_n=${SYNTH_N:-600}
+synth_eval=${SYNTH_EVAL:-100}
 . $E2EASR/utils/parse_options.sh 2>/dev/null || true
 set -euo pipefail
 
 if [ $stage -le 0 ] && [ $end_stage -ge 0 ]; then
+  if [ "$synth" = 1 ] && [ ! -f $data/train/wav.scp ]; then
+    echo "Stage 0a: synthetic char corpus ($synth_n train utts)"
+    python local/prepare_synth_char.py --out $data --n_train $synth_n --n_eval $synth_eval
+  fi
   echo "Stage 0: features + char units"
   for part in train dev test; do
     cmvn_flag=""
@@ -30,18 +50,19 @@ fi
 
 if [ $stage -le 1 ] && [ $end_stage -ge 1 ]; then
   python -m cassnat_asr_public_tpu.bin.train_asr \
-    --exp_dir $exp --train_config conf/char_transformer.yaml \
-    --data_config conf/data.yaml --optim_type noam --epochs 80 --task art
+    --exp_dir $exp --train_config $train_conf \
+    --data_config conf/data.yaml --optim_type noam --epochs $epochs \
+    --task art
 fi
 
 if [ $stage -le 2 ] && [ $end_stage -ge 2 ]; then
-  python $E2EASR/utils/average_checkpoints.py --exp_dir $exp --num 10
+  python $E2EASR/utils/average_checkpoints.py --exp_dir $exp --num $avg_num
 fi
 
 if [ $stage -le 3 ] && [ $end_stage -ge 3 ]; then
   for part in dev test; do
     python -m cassnat_asr_public_tpu.bin.decode_asr \
-      --task art --test_config ../librispeech/conf/decode.yaml \
+      --task art --test_config $decode_conf \
       --data_config conf/data.yaml --resume_model $exp/averaged.ckpt \
       --data_path $data/fbank/$part/feats.scp \
       --text_label $data/$part/token_char.scp \
