@@ -546,11 +546,14 @@ def stage_report():
             "Speed/quality ladder conclusions (drive bench.py's metric "
             "choices):",
             "`esa_topk` (CTC-path preselection before the NAT) dominates —",
-            "K=16 is hypothesis-identical to the full 50-candidate decode "
-            "and is",
-            "the primary bench config; K=8 flips one utterance (0.12 abs, "
-            "inside",
-            "the 0.2 north-star bound). Two-stage ranking (`esa_rank_topm`:",
+            "K=16 is hypothesis-identical to the full 50-candidate decode;",
+            "K=8 flips one utterance (0.12 abs, inside the 0.2 north-star",
+            "bound). The ranking-LM capacity ladder (esa_small4_* /",
+            "esa_big16_*) shows the 4L/d512-shaped ranker preserves the",
+            "ladder's WER at a fraction of the 16L rank cost, so the",
+            "shipped primary bench config is `esa_topk=8` + small-4L-LM",
+            "rank (bench.py; validated on this variant AND the hard",
+            "variant below). Two-stage ranking (`esa_rank_topm`:",
             "NAT-confidence prescreen before the LM) is implemented but "
             "weaker",
             "at equal cost: topm4 flips 7 utts (0.85%), topk16+topm8 matches",
