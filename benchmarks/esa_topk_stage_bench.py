@@ -66,6 +66,11 @@ def main():
     lm = TransformerLM(4999, n_layers=16, d_model=512, d_ff=2048, n_head=8,
                        dropout=0.0, compute_dtype=jnp.bfloat16)
     lm_params = lm.init(jax.random.PRNGKey(1), jnp.ones((1, 8), jnp.int32))
+    # the shipped primary ranker (4L at the same width, WER-validated —
+    # WER_PARITY*.md capacity ladder)
+    lm4 = TransformerLM(4999, n_layers=4, d_model=512, d_ff=2048, n_head=8,
+                        dropout=0.0, compute_dtype=jnp.bfloat16)
+    lm4_params = lm4.init(jax.random.PRNGKey(2), jnp.ones((1, 8), jnp.int32))
 
     enc_fn = jax.jit(lambda p, f: model.apply(p, f, mask, method="encode_ctc"))
     enc_h, enc_mask, ctc_out = enc_fn(params, base)
@@ -122,17 +127,19 @@ def main():
                                        return_logits=True)
                 return att.astype(jnp.float32).sum() + yl_.sum()
 
-            def stage_lm(key, lm_params, toks_):
-                t = jnp.where(jax.random.uniform(key, toks_.shape) < 1e-6,
-                              3, toks_)
-                out = lm.apply(lm_params, t, method="forward_logits") \
-                    if hasattr(lm, "forward_logits") else lm.apply(lm_params, t)
-                return out.astype(jnp.float32).sum()
+            def make_stage_lm(m):
+                def stage_lm(key, lm_params, toks_):
+                    t = jnp.where(jax.random.uniform(key, toks_.shape) < 1e-6,
+                                  3, toks_)
+                    out = m.apply(lm_params, t, method="forward_logits")
+                    return out.astype(jnp.float32).sum()
+                return stage_lm
 
             tn = timed(stage_nat, (params, enc_r, shift, yl)) * 1e3
-            tl = timed(stage_lm, (lm_params, toks)) * 1e3
+            tl = timed(make_stage_lm(lm), (lm_params, toks)) * 1e3
+            tl4 = timed(make_stage_lm(lm4), (lm4_params, toks)) * 1e3
             print(f"K={K:2d} U={U:2d}  NAT(N={N:3d}): {tn:8.2f} ms   "
-                  f"LM16: {tl:8.2f} ms", flush=True)
+                  f"LM16: {tl:8.2f} ms   LM4: {tl4:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
