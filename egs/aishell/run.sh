@@ -72,3 +72,23 @@ if [ $stage -le 3 ] && [ $end_stage -ge 3 ]; then
       --ref $data/$part/text --hyp $exp/hyp_$part.txt | tee $exp/cer_$part.txt
   done
 fi
+
+if [ $stage -le 4 ] && [ $end_stage -ge 4 ] && [ "$synth" = 1 ]; then
+  # CER results table (SURVEY §6 Aishell CER format, synthetic corpus)
+  {
+    echo "# Aishell char recipe on the synthetic char corpus (SYNTH=1)"
+    echo
+    echo "AST transformer (char units, no space token), ctc_att joint"
+    echo "decode, checkpoint averaging over the last $avg_num; produced by"
+    echo "\`SYNTH=1 bash run.sh --stage 0\` ($synth_n train / $synth_eval eval utts,"
+    echo "$epochs epochs; conf=$train_conf)."
+    echo
+    echo "| split | CER % |"
+    echo "|---|---|"
+    for part in dev test; do
+      cer=$(grep -o '[WC]ER [0-9.]*' $exp/cer_$part.txt | head -1 | cut -d' ' -f2)
+      echo "| $part | $cer |"
+    done
+  } > RESULTS_synth.md
+  echo "wrote egs/aishell/RESULTS_synth.md"
+fi
