@@ -319,9 +319,13 @@ def stage_ft():
 
     probe = ("fix_encoder: True\n"
              "encoder_group_subtrees: [src_embed, encoder]\n")
+    # 160-epoch arms: skip the per-epoch model.N.ckpt spam (last/best
+    # still saved every epoch) — at 2 steps/epoch the ckpt host pulls
+    # would dominate the run
     y100 = ft_yaml("sub", FT_EPOCHS)
-    y25 = ft_yaml("sub25", 160)
-    y25_probe = ft_yaml("sub25_probe", 160, probe)
+    y25 = ft_yaml("sub25", 160, "start_saving_epoch: 200\n")
+    y25_probe = ft_yaml("sub25_probe", 160,
+                        probe + "start_saving_epoch: 200\n")
     d100, d25 = _sub_data_yaml("train_sub"), _sub_data_yaml("train_sub25")
     runs = {
         "ft_scratch": ("", y100, d100),
@@ -331,9 +335,19 @@ def stage_ft():
         "ft_probe_rand_25": ("", y25_probe, d25),
         "ft_probe_ssl_25": (ssl_ckpt, y25_probe, d25),
     }
+    only = os.environ.get("FAMILY_FT_ONLY", "")
+    wanted = set(only.split(",")) if only else None
     for name, (resume, yaml_path, data_yaml) in runs.items():
+        if wanted is not None and name not in wanted:
+            continue
         exp = os.path.join(HERE, "exp", name)
         if not os.path.exists(os.path.join(exp, "best_model.ckpt")):
+            if resume and not os.path.exists(resume):
+                # stage 2 hasn't produced the SSL checkpoint yet; the
+                # stage is resumable — rerun it once stage 2 finishes
+                print(f"[{name}] SKIP (init ckpt missing: {resume})",
+                      flush=True)
+                continue
             _train_cli("cassnat", exp, yaml_path, data_yaml, FT_EPOCHS,
                        resume=resume)
         hyps = _decode("cassnat", exp, yaml_path, data_yaml,
