@@ -492,11 +492,19 @@ class BaseTask:
         best_metric = float("inf")
         best_epoch = 0
         patience = getattr(args, "end_patience", 10)
+        # valid_freq N: validate/checkpoint every N epochs (and on the
+        # final one). The reference validates every epoch; for tiny
+        # low-resource epochs (a handful of steps) the per-epoch valid
+        # pass + checkpoint host pull dominates wall-clock, so the
+        # low-resource recipes raise this (e.g. egs/synth 25-utt arms).
+        valid_freq = max(1, int(getattr(args, "valid_freq", 1) or 1))
         self.build_steps()
         for epoch in range(self.start_epoch, args.epochs):
             self.train_loader.set_epoch(epoch)
             self.on_epoch_start(epoch, args)
             train_meters = self.run_one_epoch(epoch, args, is_train=True)
+            if (epoch + 1) % valid_freq and epoch < args.epochs - 1:
+                continue
             valid_meters = self.run_one_epoch(epoch, args, is_train=False)
             metric = self.epoch_metric(valid_meters)
             self.on_valid_metric(metric, args)

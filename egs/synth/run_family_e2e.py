@@ -323,9 +323,10 @@ def stage_ft():
     # still saved every epoch) — at 2 steps/epoch the ckpt host pulls
     # would dominate the run
     y100 = ft_yaml("sub", FT_EPOCHS)
-    y25 = ft_yaml("sub25", 160, "start_saving_epoch: 200\n")
+    y25 = ft_yaml("sub25", 160,
+                  "start_saving_epoch: 200\nvalid_freq: 10\n")
     y25_probe = ft_yaml("sub25_probe", 160,
-                        probe + "start_saving_epoch: 200\n")
+                        probe + "start_saving_epoch: 200\nvalid_freq: 10\n")
     d100, d25 = _sub_data_yaml("train_sub"), _sub_data_yaml("train_sub25")
     runs = {
         "ft_scratch": ("", y100, d100),
@@ -341,15 +342,19 @@ def stage_ft():
         if wanted is not None and name not in wanted:
             continue
         exp = os.path.join(HERE, "exp", name)
-        if not os.path.exists(os.path.join(exp, "best_model.ckpt")):
-            if resume and not os.path.exists(resume):
-                # stage 2 hasn't produced the SSL checkpoint yet; the
-                # stage is resumable — rerun it once stage 2 finishes
-                print(f"[{name}] SKIP (init ckpt missing: {resume})",
-                      flush=True)
-                continue
-            _train_cli("cassnat", exp, yaml_path, data_yaml, FT_EPOCHS,
-                       resume=resume)
+        if resume and not os.path.exists(resume) and \
+                not os.path.exists(os.path.join(exp, "model.last.ckpt")):
+            # stage 2 hasn't produced the SSL checkpoint yet; the
+            # stage is resumable — rerun it once stage 2 finishes
+            print(f"[{name}] SKIP (init ckpt missing: {resume})",
+                  flush=True)
+            continue
+        # always invoke the trainer: it resumes from exp/model.last.ckpt
+        # and exits immediately if the arm already reached its epoch
+        # budget, so interrupted runs continue instead of being skipped
+        # on a stale best_model.ckpt
+        _train_cli("cassnat", exp, yaml_path, data_yaml, FT_EPOCHS,
+                   resume=resume)
         hyps = _decode("cassnat", exp, yaml_path, data_yaml,
                        dict(decode_type="esa_att", sample_num=1,
                             rank_model="none"))
