@@ -39,7 +39,22 @@ freshly perturbed inputs (fold_in'd keys), result reduced and materialized
 on host — steady-state device throughput, no dispatch/result caching, host
 tunnel latency amortized (see CLAUDE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+MFU methodology (VERDICT r4 item 5): model FLOPs come from XLA's own HLO
+cost analysis of the compiled loop executable
+(`jitted.lower(...).compile().cost_analysis()['flops']`). XLA counts a
+`fori_loop` body ONCE regardless of trip count (verified: a 10-iteration
+loop reports 1.002x the single-call flops), so the reported figure is the
+per-iteration model FLOPs and
+    MFU = flops_per_iteration / time_per_iteration / PEAK_FLOPS
+with PEAK_FLOPS = 406 TFLOP/s bf16, the MXU rate measured on THIS chip by
+benchmarks/int8_matmul_probe.py (4096^3 matmul, dependency-chained,
+host-materialized). f32 statistics ops are counted at the same peak, so
+MFU is slightly conservative for mixed-precision graphs.
+
+Prints one compact JSON line {"metric", "value", "unit", "vs_baseline",
+...headline keys} (kept short enough that a 2000-char log tail preserves
+the complete line), and writes EVERY measured key to
+benchmarks/bench_full_record.json.
 """
 
 import json
@@ -51,6 +66,21 @@ import numpy as np
 
 T0 = time.time()
 BASELINE_RTF = 0.011  # reference README.md:33
+PEAK_FLOPS = 406e12   # bf16 MXU peak measured on this chip (int8 probe)
+
+
+def loop_flops(jitted, *args):
+    """Per-iteration model FLOPs of a compiled fori_loop bench via XLA's
+    HLO cost analysis (loop bodies are counted once — see module
+    docstring). Returns None when the backend can't report it."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def note(msg):
@@ -184,6 +214,11 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / n_inner
     greedy_rtf = dt / (batch * secs)
+    gfl = loop_flops(loop_greedy, cal["measured"], base,
+                     jax.random.PRNGKey(99))
+    greedy_mfu = round(gfl / dt / PEAK_FLOPS, 4) if gfl else None
+    note(f"greedy {dt * 1e3:.2f} ms/iter, flops/iter="
+         f"{gfl and round(gfl / 1e9, 2)} GF, mfu={greedy_mfu}")
 
     # ---- primary: ESA parity config through the shipped path ----
     # sample_num=50 thr 0.9 + 16L transformer-LM ranking
@@ -243,7 +278,8 @@ def main():
                                      jnp.zeros((), jnp.int32))
         return loop_esa
 
-    def time_loop(loop, params, base_in, warm_key=98, lm="16L"):
+    def time_loop(loop, params, base_in, warm_key=98, lm="16L",
+                  want_mfu=False):
         lm_p = LMS[lm][1]
         np.asarray(loop(params, lm_p, base_in,
                         jax.random.PRNGKey(warm_key)))
@@ -253,7 +289,14 @@ def main():
             np.asarray(loop(params, lm_p, base_in,
                             jax.random.PRNGKey(10 + i)))
             ts.append(time.perf_counter() - t0)
-        return (float(np.median(ts)) / esa_inner) / (esa_batch * secs)
+        rtf = (float(np.median(ts)) / esa_inner) / (esa_batch * secs)
+        if not want_mfu:
+            return rtf
+        fl = loop_flops(loop, params, lm_p, base_in,
+                        jax.random.PRNGKey(warm_key))
+        mfu = (round(fl / (rtf * esa_batch * secs) / PEAK_FLOPS, 4)
+               if fl else None)
+        return rtf, mfu, fl
 
     result = {
         "metric": "nast_esa_decode_rtf",
@@ -264,6 +307,8 @@ def main():
         "greedy_rtf": round(greedy_rtf, 7),
         "greedy_vs_baseline": round(BASELINE_RTF / greedy_rtf, 2),
         "greedy_utts_per_sec_chip": round(batch / dt, 1),
+        "greedy_decode_mfu": greedy_mfu,
+        "greedy_flops_per_iter": gfl,
         "mean_ylen": round(mean_ylen, 1),
         "emission_profiles_lowconf_frac": profiles,
     }
@@ -343,7 +388,16 @@ def main():
             note(f"compiling ESA {tag} loop")
             loop = make_esa_loop(esa_topk=k, lm=lmname)
             for name in ("measured", "mid", "peaked"):
-                rtfk = time_loop(loop, cal[name], base_esa, lm=lmname)
+                want = (k == 8 and lmname == "small4"
+                        and name == "measured")
+                out = time_loop(loop, cal[name], base_esa, lm=lmname,
+                                want_mfu=want)
+                if want:
+                    rtfk, mfu_k, fl_k = out
+                    result["esa_topk8_small4_mfu"] = mfu_k
+                    result["esa_topk8_small4_flops_per_iter"] = fl_k
+                else:
+                    rtfk = out
                 note(f"[{name}] ESA {tag} rtf={rtfk:.2e}")
                 result.update({
                     f"esa_{tag}_{name}_rtf": round(rtfk, 6),
@@ -356,26 +410,27 @@ def main():
                     result["value"] = round(rtfk, 6)
                     result["vs_baseline"] = round(BASELINE_RTF / rtfk, 2)
                     result["unit"] = (
-                        f"rtf, ESA decode (sample_num=50 thr=0.9, "
-                        f"esa_topk=8 preselection, 4L/d512 transformer-LM "
-                        f"rank, batch={esa_batch}, shipped nat_decode_jit)"
-                        f", trained-model-measured emission profile "
-                        f"(18.3% low-conf frames); WER-validated on BOTH "
-                        f"parity variants incl. the 600-utt hard set "
-                        f"(WER_PARITY.md, WER_PARITY_HARD.md): ladder "
-                        f"deltas vs full-50 ESA+LM and vs the reference "
-                        f"torch decode within the 0.2-abs bound")
+                        f"rtf; ESA s_num=50 thr=0.9 esa_topk=8 + 4L/d512 "
+                        f"LM rank, B={esa_batch}, shipped nat_decode_jit, "
+                        f"measured emission profile; WER-validated "
+                        f"(WER_PARITY*.md incl. 600-utt hard + seed "
+                        f"spread); full record in benchmarks/"
+                        f"bench_full_record.json")
 
         # ---- strict-parity counterpart of the primary's ranker: full-50
         # ESA ranked by the small 4L LM (no preselection)
         note("compiling ESA full-50 small4 loop")
-        rtf_f4 = time_loop(make_esa_loop(lm="small4"), cal["measured"],
-                           base_esa, lm="small4")
-        note(f"[measured] ESA full-50 small4 rtf={rtf_f4:.2e}")
+        rtf_f4, mfu_f4, fl_f4 = time_loop(
+            make_esa_loop(lm="small4"), cal["measured"], base_esa,
+            lm="small4", want_mfu=True)
+        note(f"[measured] ESA full-50 small4 rtf={rtf_f4:.2e} "
+             f"mfu={mfu_f4}")
         result.update({
             "esa_full50_small4_measured_rtf": round(rtf_f4, 6),
             "esa_full50_small4_measured_vs_baseline":
                 round(BASELINE_RTF / rtf_f4, 2),
+            "esa_full50_small4_mfu": mfu_f4,
+            "esa_full50_small4_flops_per_iter": fl_f4,
         })
 
         # ---- two-phase ESA (the production driver path,
@@ -447,6 +502,75 @@ def main():
     except Exception as e:  # pragma: no cover - infra failure path
         note(f"ESA section failed: {e!r}")
 
+    # ---- train-step throughput + MFU (VERDICT r4 item 5): the
+    # production CASS-NAT training step (fwd+bwd+adam, in-graph Viterbi
+    # alignment, dropout via the hardware RBG) at the train_bench.py
+    # config, timed with the same device-loop methodology.
+    try:
+        import optax
+        from cassnat_asr_public_tpu.models import make_cassnat as _mk
+        td = dict(d, dropout=0.1, use_best_path=False, src_trigger=True)
+        targs = Config(**td)
+        tmodel = _mk(input_size, targs)
+        TB, TT, TU = (4, 64, 12) if smoke else (16, 736, 64)
+        tbase = jax.random.normal(rng, (TB, TT, input_size), jnp.float32)
+        tmask = jnp.ones((TB, TT), bool)
+        tlabels = jax.random.randint(rng, (TB, TU + 1), 3, args.vocab_size)
+        tlabels = tlabels.at[:, TU].set(0).at[:, TU - 1].set(2)
+        tlsizes = jnp.full((TB,), TU - 1, jnp.int32)
+        tparams = tmodel.init({"params": rng}, tbase[:1, :64],
+                              tmask[:1, :64], tlabels[:1], tlsizes[:1])
+        tx = optax.chain(optax.clip_by_global_norm(5.0),
+                         optax.adam(1e-3, b2=0.98))
+        topt = tx.init(tparams)
+        impl = ("rbg" if jax.default_backend() == "tpu"
+                else "threefry2x32")
+        t_inner = 2 if smoke else 5
+
+        @jax.jit
+        def loop_train(tparams, topt, tbase, key, dkey):
+            def body(i, carry):
+                p, o = carry
+                f = tbase + jax.random.normal(
+                    jax.random.fold_in(key, i), tbase.shape) * 1e-6
+
+                def lf(p):
+                    out = tmodel.apply(
+                        p, f, tmask, tlabels, tlsizes,
+                        deterministic=False,
+                        rngs={"dropout": jax.random.fold_in(dkey, i)})
+                    return out["loss"]
+
+                loss, grads = jax.value_and_grad(lf)(p)
+                upd, o = tx.update(grads, o, p)
+                return optax.apply_updates(p, upd), o
+            return jax.lax.fori_loop(0, t_inner, body, (tparams, topt))
+
+        dkey = jax.random.key(9, impl=impl)
+        note("compiling train-step loop")
+        jax.block_until_ready(loop_train(tparams, topt, tbase,
+                                         jax.random.PRNGKey(9), dkey))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop_train(tparams, topt, tbase,
+                                             jax.random.PRNGKey(i), dkey))
+            ts.append(time.perf_counter() - t0)
+        tdt = float(np.median(ts)) / t_inner
+        tfl = loop_flops(loop_train, tparams, topt, tbase,
+                         jax.random.PRNGKey(9), dkey)
+        result.update(
+            train_step_ms=round(tdt * 1e3, 2),
+            train_frames_per_sec=round(TB * TT / tdt, 0),
+            train_step_mfu=(round(tfl / tdt / PEAK_FLOPS, 4)
+                            if tfl else None),
+            train_step_flops=tfl)
+        note(f"train step {tdt * 1e3:.1f} ms, "
+             f"mfu={result['train_step_mfu']}")
+    except Exception as e:  # pragma: no cover - infra failure path
+        note(f"train-step section failed: {e!r}")
+        result["train_step_error"] = repr(e)[:160]
+
     # ---- megakernel A/B: greedy decode with the fused conformer-layer
     # Pallas encoder (kernels/conformer_layer.py) vs the XLA encoder.
     # Reported either way (VERDICT r2 item 4); the default path stays XLA
@@ -495,7 +619,35 @@ def main():
             result["vs_baseline"] = round(BASELINE_RTF / greedy_rtf, 2)
             result["unit"] = ("rtf, greedy best-path batch=32 (ESA "
                               "sections failed)")
-    print(json.dumps(result))
+
+    # full record to disk (the driver keeps only a 2000-char log tail —
+    # BENCH_r04.json lost the head of the line that way), compact
+    # headline line to stdout
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "bench_full_record.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+        note(f"full record -> {full_path}")
+    except OSError as e:
+        note(f"full-record write failed: {e!r}")
+    compact_keys = [
+        "metric", "value", "unit", "vs_baseline",
+        "greedy_rtf", "greedy_vs_baseline", "greedy_utts_per_sec_chip",
+        "greedy_decode_mfu",
+        "train_step_ms", "train_frames_per_sec", "train_step_mfu",
+        "esa_topk8_small4_measured_rtf",
+        "esa_topk8_small4_measured_vs_baseline", "esa_topk8_small4_mfu",
+        "esa_gate_measured_rtf", "esa_gate_measured_vs_baseline",
+        "esa_topk16_small4_measured_vs_baseline",
+        "esa_full50_small4_measured_rtf",
+        "esa_full50_small4_measured_vs_baseline", "esa_full50_small4_mfu",
+        "esa_topk8_measured_vs_baseline",
+        "esa_dedup_measured_vs_baseline",
+        "greedy_megakernel_vs_xla",
+    ]
+    compact = {k: result[k] for k in compact_keys if k in result}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -229,7 +229,7 @@ def _load_sd(model, sd_np, label):
 
 def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
                          sample_num=1, lm_exp=None, lm_layers=2,
-                         lm_shape=None, at_exp=None):
+                         lm_shape=None, at_exp=None, torch_seed=None):
     """Decode the synth test set with the REFERENCE CassNAT.beam_decode on
     transplanted trained weights. rank_model 'none' forces sample_num=1
     (the reference has no rank-free multi-sample path).
@@ -323,6 +323,11 @@ def reference_esa_decode(exp_dir, data_dir, here, rank_model="none",
     # reference align_to_mask hard-codes .cuda(); neutralize on CPU
     orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
+    if torch_seed is not None:
+        # seed-spread study (WER_PARITY_HARD.md): the reference samples
+        # ESA alignments with torch's global RNG (cassnat.py:373
+        # torch.randint); pinning it makes per-seed WER reproducible
+        torch.manual_seed(torch_seed)
     hyps = {}
     try:
         for batch in loader:
