@@ -575,37 +575,44 @@ def main():
     # Pallas encoder (kernels/conformer_layer.py) vs the XLA encoder.
     # Reported either way (VERDICT r2 item 4); the default path stays XLA
     # unless this end-to-end delta says otherwise.
-    try:
-        @jax.jit
-        def loop_greedy_fused(params, base, key):
-            def body(i, acc):
-                f = base + jax.random.normal(
-                    jax.random.fold_in(key, i), base.shape) * 1e-6
-                out = nat_decode_jit(model, params, f, mask,
-                                     jax.random.fold_in(key, 500 + i),
-                                     umax=umax, use_megakernel=True)
-                return acc + out["tokens"].sum() + out["lengths"].sum()
-            return jax.lax.fori_loop(0, n_inner, body,
-                                     jnp.zeros((), jnp.int32))
+    for mk_mode, mk_tag in ((True, "megakernel"), ("qblocked",
+                                                   "qblocked")):
+        try:
+            def make_loop_fused(mk):
+                @jax.jit
+                def loop_greedy_fused(params, base, key):
+                    def body(i, acc):
+                        f = base + jax.random.normal(
+                            jax.random.fold_in(key, i), base.shape) * 1e-6
+                        out = nat_decode_jit(
+                            model, params, f, mask,
+                            jax.random.fold_in(key, 500 + i),
+                            umax=umax, use_megakernel=mk)
+                        return (acc + out["tokens"].sum()
+                                + out["lengths"].sum())
+                    return jax.lax.fori_loop(0, n_inner, body,
+                                             jnp.zeros((), jnp.int32))
+                return loop_greedy_fused
 
-        note("compiling fused-encoder greedy loop (megakernel)")
-        np.asarray(loop_greedy_fused(cal["measured"], base,
-                                     jax.random.PRNGKey(99)))
-        ts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            np.asarray(loop_greedy_fused(cal["measured"], base,
-                                         jax.random.PRNGKey(i)))
-            ts.append(time.perf_counter() - t0)
-        dtf = float(np.median(ts)) / n_inner
-        result.update(
-            greedy_megakernel_rtf=round(dtf / (batch * secs), 7),
-            greedy_megakernel_vs_xla=round(dt / dtf, 3))
-        note(f"megakernel greedy {dtf * 1e3:.2f} ms/iter vs XLA "
-             f"{dt * 1e3:.2f} ms/iter (x{dt / dtf:.3f})")
-    except Exception as e:  # pragma: no cover - infra failure path
-        note(f"megakernel section failed: {e!r}")
-        result["greedy_megakernel_error"] = repr(e)[:160]
+            loop_fused = make_loop_fused(mk_mode)
+            note(f"compiling fused-encoder greedy loop ({mk_tag})")
+            np.asarray(loop_fused(cal["measured"], base,
+                                  jax.random.PRNGKey(99)))
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                np.asarray(loop_fused(cal["measured"], base,
+                                      jax.random.PRNGKey(i)))
+                ts.append(time.perf_counter() - t0)
+            dtf = float(np.median(ts)) / n_inner
+            result.update({
+                f"greedy_{mk_tag}_rtf": round(dtf / (batch * secs), 7),
+                f"greedy_{mk_tag}_vs_xla": round(dt / dtf, 3)})
+            note(f"{mk_tag} greedy {dtf * 1e3:.2f} ms/iter vs XLA "
+                 f"{dt * 1e3:.2f} ms/iter (x{dt / dtf:.3f})")
+        except Exception as e:  # pragma: no cover - infra failure path
+            note(f"{mk_tag} section failed: {e!r}")
+            result[f"greedy_{mk_tag}_error"] = repr(e)[:160]
 
     if "value" not in result:
         # infra fallback: the primary metric must always print
@@ -644,7 +651,7 @@ def main():
         "esa_full50_small4_measured_vs_baseline", "esa_full50_small4_mfu",
         "esa_topk8_measured_vs_baseline",
         "esa_dedup_measured_vs_baseline",
-        "greedy_megakernel_vs_xla",
+        "greedy_megakernel_vs_xla", "greedy_qblocked_vs_xla",
     ]
     compact = {k: result[k] for k in compact_keys if k in result}
     print(json.dumps(compact))

@@ -319,20 +319,217 @@ def conformer_layer_fused(lp, x, maskf, pos_table, n_head: int = 8,
     )(*args_b)
 
 
-def fused_encode_ctc(model, params, feats, src_mask, interpret: bool = False):
+def _half_a_kv_kernel(
+        x_ref, norms_ref,
+        w1a_ref, b1a_ref, w2a_ref, b2a_ref,
+        wk_ref, wv_ref, battn_ref,
+        x1_ref, ln_ref, k_ref, v_ref):
+    """Blocked half-A stage 1 (grid b): ffn1 residual + attention pre-norm
+    + K/V projections for the whole row, written back to HBM so stage 2
+    can attend q-blocks against the full key row."""
+    cdtype = x_ref.dtype
+
+    def mm(a32, w_ref, b=None):
+        return _mm(a32, w_ref, b, cdtype)
+
+    x = x_ref[0].astype(jnp.float32)
+    hln = _layernorm(x, norms_ref[0:1, :], norms_ref[1:2, :])
+    hmid = mm(hln, w1a_ref, b1a_ref[0:1, :])
+    hmid = hmid * jax.nn.sigmoid(hmid)
+    hout = mm(hmid.astype(jnp.float32), w2a_ref, b2a_ref[0:1, :])
+    x = x + 0.5 * hout
+    ln = _layernorm(x, norms_ref[2:3, :], norms_ref[3:4, :])
+    x1_ref[0] = x.astype(x1_ref.dtype)
+    ln_ref[0] = ln.astype(ln_ref.dtype)
+    k_ref[0] = mm(ln, wk_ref, battn_ref[1:2, :]).astype(k_ref.dtype)
+    v_ref[0] = mm(ln, wv_ref, battn_ref[2:3, :]).astype(v_ref.dtype)
+
+
+def _half_a_qblock_kernel(
+        x1_ref, ln_ref, k_ref, v_ref, mask_ref,
+        wq_ref, wo_ref, battn_ref, p_ref, ubias_ref,
+        out_ref,
+        *, n_head: int, r_eff: int, tq: int):
+    """Blocked half-A stage 2 (grid (b, nq)): one (TQ, D) query block
+    attends over the row's full K/V (flash-style — whole-T score rows
+    never materialize for more than TQ queries at once)."""
+    j = pl.program_id(1)
+    t, d = k_ref.shape[1], k_ref.shape[2]
+    h = n_head
+    dk = d // h
+    cdtype = x1_ref.dtype
+
+    def mm(a32, w_ref, b=None):
+        return _mm(a32, w_ref, b, cdtype)
+
+    x1 = x1_ref[0].astype(jnp.float32)                    # (TQ, D)
+    ln = ln_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)                      # (T, D)
+    v = v_ref[0]
+    maskf = mask_ref[0].astype(jnp.float32)               # (1, T)
+    q = mm(ln, wq_ref, battn_ref[0:1, :])                 # (TQ, D)
+    u_bias = ubias_ref[0:1, :].astype(jnp.float32)
+    v_bias = ubias_ref[1:2, :].astype(jnp.float32)
+    inv_sqrt_dk = 1.0 / math.sqrt(dk)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tq, t), 0) + j * tq
+    ki = jax.lax.broadcasted_iota(jnp.int32, (tq, t), 1)
+    off = jnp.clip(ki - qi, -r_eff, r_eff) + r_eff
+    kmask = maskf > 0.5
+
+    qu_full = (q + u_bias).astype(cdtype)
+    qv_full = (q + v_bias).astype(cdtype)
+    ctx_heads = []
+    for hd in range(h):
+        sl = slice(hd * dk, (hd + 1) * dk)
+        k_h = k[:, sl]
+        v_h = v[:, sl]
+        p_h = p_ref[:, sl].astype(cdtype)
+        scores = jax.lax.dot_general(
+            qu_full[:, sl], k_h.astype(cdtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_dk  # (TQ, T)
+        small = jax.lax.dot_general(
+            qv_full[:, sl], p_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_dk  # (TQ, 2R+1)
+        for o in range(2 * r_eff + 1):
+            scores = scores + jnp.where(off == o, small[:, o:o + 1], 0.0)
+        scores = jnp.where(kmask, scores, MASK_MIN)
+        smax = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - smax)
+        e = jnp.where(kmask, e, 0.0)
+        w = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        ctx_h = jax.lax.dot_general(
+            w.astype(cdtype), v_h.astype(cdtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ctx_heads.append(ctx_h)
+    ctx = jnp.concatenate(ctx_heads, axis=1)
+    out_ref[0] = (x1 + mm(ctx, wo_ref, battn_ref[3:4, :])) \
+        .astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "tq", "interpret"))
+def conformer_layer_fused_qblocked(lp, x, maskf, pos_table,
+                                   n_head: int = 8, tq: int = 64,
+                                   interpret: bool = False):
+    """Half A with T-blocked (flash-style) attention + the standard half
+    B — VERDICT r4 item 7's decisive attempt at the one untried megakernel
+    decomposition.
+
+    Stage 1 (grid b) computes ffn1 + pre-norm + K/V for the full row;
+    stage 2 (grid (b, ceil(T/tq))) attends one query block at a time over
+    the full K/V. Vs the whole-T half A this trades VMEM residency for
+    extra HBM traffic (x1/ln/k/v round-trip ≈ +4 T×D per layer), which at
+    (B=32, T'=184, d=512) — where a whole row already fits comfortably in
+    VMEM — is expected to LOSE; measured end-to-end by bench.py
+    (`greedy_qblocked_vs_xla`) to close the item either way."""
+    b, t, d = x.shape
+    cdtype = x.dtype
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    r_eff = (pos_table.shape[0] - 1) // 2
+    att = lp["self_attn"]
+    p = jnp.dot(pos_table.astype(cdtype),
+                att["pos"]["kernel"].astype(cdtype),
+                preferred_element_type=jnp.float32).astype(cdtype)
+    battn = jnp.stack([att[k]["bias"].astype(jnp.float32)
+                       for k in ("q", "k", "v", "out")])
+    ubias = jnp.stack([att["pos_bias_u"].reshape(-1).astype(jnp.float32),
+                       att["pos_bias_v"].reshape(-1).astype(jnp.float32)])
+    norms = _pack_norms(lp)
+    cparams = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda *_: (0,) * a.ndim)
+
+    row3 = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
+    args1 = (
+        x, norms,
+        lp["ff1"]["Dense_0"]["kernel"].astype(cdtype),
+        lp["ff1"]["Dense_0"]["bias"].astype(jnp.float32)[None],
+        lp["ff1"]["Dense_1"]["kernel"].astype(cdtype),
+        lp["ff1"]["Dense_1"]["bias"].astype(jnp.float32)[None],
+        att["k"]["kernel"].astype(cdtype),
+        att["v"]["kernel"].astype(cdtype),
+        battn,
+    )
+    x1, ln, kk, vv = pl.pallas_call(
+        _half_a_kv_kernel,
+        grid=(b,),
+        in_specs=[row3] + [const_spec(a) for a in args1[1:]],
+        out_specs=[row3] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, t, d), cdtype)] * 4,
+        interpret=interpret,
+        compiler_params=cparams,
+    )(*args1)
+
+    nq = -(-t // tq)
+    args2 = (
+        x1, ln, kk, vv, maskf.astype(jnp.float32)[:, None, :],
+        att["q"]["kernel"].astype(cdtype),
+        att["out"]["kernel"].astype(cdtype),
+        battn, p, ubias,
+    )
+    qrow = pl.BlockSpec((1, tq, d), lambda i, j: (i, j, 0))
+    krow = pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0))
+    in_specs2 = [qrow, qrow, krow, krow,
+                 pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0))] + \
+        [const_spec(a) for a in args2[5:]]
+    kern2 = functools.partial(_half_a_qblock_kernel, n_head=n_head,
+                              r_eff=r_eff, tq=tq)
+    x = pl.pallas_call(
+        kern2,
+        grid=(b, nq),
+        in_specs=in_specs2,
+        out_specs=pl.BlockSpec((1, tq, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), cdtype),
+        interpret=interpret,
+        compiler_params=cparams,
+    )(*args2)
+
+    args_b = (
+        x, norms,
+        lp["ff2"]["Dense_0"]["kernel"].astype(cdtype),
+        lp["ff2"]["Dense_0"]["bias"].astype(jnp.float32)[None],
+        lp["ff2"]["Dense_1"]["kernel"].astype(cdtype),
+        lp["ff2"]["Dense_1"]["bias"].astype(jnp.float32)[None],
+        lp["conv"]["pointwise1"]["kernel"][0].astype(cdtype),
+        lp["conv"]["pointwise1"]["bias"].astype(jnp.float32)[None],
+        lp["conv"]["depthwise"]["kernel"][:, 0, :].astype(jnp.float32),
+        lp["conv"]["depthwise"]["bias"].astype(jnp.float32)[None],
+        lp["conv"]["pointwise2"]["kernel"][0].astype(cdtype),
+        lp["conv"]["pointwise2"]["bias"].astype(jnp.float32)[None],
+    )
+    in_specs_b = [row3] + [const_spec(a) for a in args_b[1:]]
+    return pl.pallas_call(
+        _layer_half_b_kernel,
+        grid=(b,),
+        in_specs=in_specs_b,
+        out_specs=row3,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), cdtype),
+        interpret=interpret,
+        compiler_params=cparams,
+    )(*args_b)
+
+
+def fused_encode_ctc(model, params, feats, src_mask, interpret: bool = False,
+                     qblocked: bool = False, tq: int = 64):
     """Full encode_ctc with the fused-layer encoder: frontend and CTC head
     via the model's own submodules, encoder layers via the megakernel,
     final encoder LayerNorm inline. Drop-in producer for nat_decode_jit's
-    `pre_enc` (conformer/relative encoders only)."""
+    `pre_enc` (conformer/relative encoders only). qblocked selects the
+    T-blocked flash-style half A (conformer_layer_fused_qblocked)."""
     (x, pos_embed), enc_mask = model.apply(
         params, feats, src_mask,
         method=lambda m, f, msk: m.src_embed(f, msk, deterministic=True))
     maskf = enc_mask.astype(jnp.float32)
     enc_p = params["params"]["encoder"]
     n_layers = sum(1 for k in enc_p if k.startswith("layer"))
+    layer_fn = (functools.partial(conformer_layer_fused_qblocked, tq=tq)
+                if qblocked else conformer_layer_fused)
     for i in range(n_layers):
-        x = conformer_layer_fused(enc_p[f"layer{i}"], x, maskf, pos_embed,
-                                  n_head=model.n_head, interpret=interpret)
+        x = layer_fn(enc_p[f"layer{i}"], x, maskf, pos_embed,
+                     n_head=model.n_head, interpret=interpret)
     nrm = enc_p["norm"]
     x32 = x.astype(jnp.float32)
     enc_h = _layernorm(

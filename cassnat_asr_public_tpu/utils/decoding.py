@@ -47,16 +47,18 @@ def _repeat_batch(x, n):
     return jnp.repeat(x, n, axis=0)
 
 
-def _encode_ctc(model, params, feats, src_mask, use_megakernel: bool):
+def _encode_ctc(model, params, feats, src_mask, use_megakernel):
     """Encoder + CTC head, optionally through the fused conformer-layer
     Pallas megakernel (kernels/conformer_layer.py). The fused path covers
     conformer encoders with relative PE only; anything else falls back to
-    the XLA encoder."""
+    the XLA encoder. use_megakernel="qblocked" selects the T-blocked
+    flash-style half A (VERDICT r4 item 7 A/B)."""
     if use_megakernel and getattr(model, "use_conv_enc", False) \
             and getattr(model, "pos_type", "") == "relative":
         from cassnat_asr_public_tpu.kernels.conformer_layer import \
             fused_encode_ctc
-        return fused_encode_ctc(model, params, feats, src_mask)
+        return fused_encode_ctc(model, params, feats, src_mask,
+                                qblocked=(use_megakernel == "qblocked"))
     return model.apply(params, feats, src_mask, method="encode_ctc")
 
 

@@ -12,7 +12,8 @@ from flax.core import freeze
 from cassnat_asr_public_tpu.nn.blocks import ConEncoderLayer
 from cassnat_asr_public_tpu.nn.modules import RelativePositionalEncoding
 from cassnat_asr_public_tpu.kernels.conformer_layer import (
-    conformer_layer_fused, fused_encode_ctc)
+    conformer_layer_fused, conformer_layer_fused_qblocked,
+    fused_encode_ctc)
 
 rng = np.random.default_rng(0)
 B, T, D, H, F, K, R = 3, 40, 64, 4, 128, 7, 8
@@ -37,6 +38,15 @@ got = conformer_layer_fused(params["params"], x,
 err = float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-9))
 assert err < 2e-4, f"layer rel err {err}"
 print("layer ok", err)
+
+# T-blocked flash-style half A (VERDICT r4 item 7): tq=16 does NOT divide
+# T=40, exercising the padded final query block
+got_q = conformer_layer_fused_qblocked(params["params"], x,
+                                       mask.astype(jnp.float32), table,
+                                       n_head=H, tq=16, interpret=True)
+err_q = float(jnp.abs(got_q - want).max() / (jnp.abs(want).max() + 1e-9))
+assert err_q < 2e-4, f"qblocked layer rel err {err_q}"
+print("qblocked layer ok", err_q)
 
 # an all-pad row (len 0, e.g. last-row-repeat padding of a partial decode
 # batch) must not NaN the softmax (0/0 guard in _layer_half_a_kernel)
