@@ -116,7 +116,7 @@ def _nat_confidence(att_out, att_pred, slot_valid, fast_logits):
                                   "lm_model", "esa_topk",
                                   "lm_apply_logits", "dedup_align",
                                   "dedup_rank", "use_megakernel",
-                                  "rank_topm"))
+                                  "rank_topm", "return_margin"))
 def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    sample_num: int = 1, threshold: float = 0.9,
                    rank_model: str = "none",
@@ -128,7 +128,8 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                    text_input=None, text_mask=None, esa_topk: int = 0,
                    lm_apply_logits: bool = False, dedup_align: int = 0,
                    dedup_rank: int = 0, pre_enc=None,
-                   use_megakernel: bool = False, rank_topm: int = 0):
+                   use_megakernel: bool = False, rank_topm: int = 0,
+                   return_margin: bool = False):
     """Single-pass NAT decode, optionally with ESA sampling + ranking.
 
     Returns dict(tokens (B, umax), lengths (B,)) — argmax tokens per slot up
@@ -352,6 +353,20 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
             cand_score = _nat_confidence(att_out, att_pred, slot_valid,
                                          fast_logits)
         cand_score = cand_score.reshape(bs, n_cand)
+        if return_margin:
+            # Per-utterance ranking margin (confidence-gated escalation,
+            # VERDICT r4 item 2c): top1-top2 rank-score gap over DISTINCT
+            # candidate outputs — duplicate sequences carry identical
+            # scores and would fake a zero margin, so they're masked out.
+            # A single-unique utterance gets +inf margin (never escalate).
+            toks_m = jnp.where(slot_valid, att_pred, 0)
+            mh1, mh2 = _row_hashes(toks_m, ylen)
+            is_dup_m, _ = _group_dedup(mh1, mh2, bs, n_cand)
+            sc = jnp.where(is_dup_m, -jnp.inf, cand_score)
+            top2sc = jax.lax.top_k(sc, 2)[0]          # (B, 2)
+            stats["esa_margin"] = jnp.where(
+                jnp.isfinite(top2sc[:, 1]),
+                top2sc[:, 0] - top2sc[:, 1], jnp.inf)
         best = cand_score.argmax(-1)  # (B,)
         att_pred = att_pred.reshape(bs, n_cand, umax)[
             jnp.arange(bs), best]

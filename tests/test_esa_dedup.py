@@ -190,6 +190,33 @@ def test_rank_topm_properties(tiny_setup):
             toy_lm_score(conf_tok[b], conf_len[b]) - 1e-6
 
 
+def test_gate_margin_properties(tiny_setup):
+    """return_margin (the confidence-gated escalation signal): per-utt
+    top1-top2 rank-score gap over DISTINCT candidate outputs — finite
+    margins are non-negative, +inf marks single-unique-output utterances,
+    and requesting it never changes the decode output."""
+    model, params, feats, mask, lm_apply = tiny_setup
+    plain = _decode(model, params, feats, mask, lm_apply, esa_topk=4)
+    out = _decode(model, params, feats, mask, lm_apply, esa_topk=4,
+                  return_margin=True)
+    marg = np.asarray(out["esa_margin"])
+    assert marg.shape == (feats.shape[0],)
+    assert (marg >= 0).all()
+    np.testing.assert_array_equal(np.asarray(plain["tokens"]),
+                                  np.asarray(out["tokens"]))
+
+    # a near-deterministic CTC head -> every sample is the argmax path ->
+    # one unique output -> margin must be +inf (never escalate)
+    sharp = jax.tree_util.tree_map(lambda x: x, params)
+    gen = sharp["params"]["ctc_generator"]["proj"]
+    gen["kernel"] = gen["kernel"] * 50.0
+    gen["bias"] = gen["bias"] * 50.0
+    out2 = _decode(model, sharp, feats, mask, lm_apply, esa_topk=4,
+                   return_margin=True)
+    marg2 = np.asarray(out2["esa_margin"])
+    assert np.isinf(marg2).all(), marg2
+
+
 def test_two_phase_exact(tiny_setup):
     """Two-phase decode (esa_align_jit + host bucket selection +
     nat_decode_jit external/pre_enc) must equal the one-call ESA decode."""
