@@ -336,6 +336,20 @@ def stage_ft():
         "ft_probe_rand_25": ("", y25_probe, d25),
         "ft_probe_ssl_25": (ssl_ckpt, y25_probe, d25),
     }
+    # Multi-seed robustness (VERDICT r4 item 8): FAMILY_FT_SEEDS=1,2 adds
+    # re-trainings of every arm at extra seeds (seed affects init, data
+    # order, specaug and decode sampling); results land as <arm>_seed<N>
+    # and stage_report aggregates mean +/- spread per arm.
+    seeds = [int(s) for s in
+             os.environ.get("FAMILY_FT_SEEDS", "").split(",") if s]
+    for name in list(runs):
+        resume, yaml_path, data_yaml = runs[name]
+        for s in seeds:
+            base_yaml = open(yaml_path).read()
+            y_s = _write_yaml(
+                yaml_path.replace(".yaml", f"_seed{s}.yaml"),
+                base_yaml + f"\nseed: {s}\n")
+            runs[f"{name}_seed{s}"] = (resume, y_s, data_yaml)
     only = os.environ.get("FAMILY_FT_ONLY", "")
     wanted = set(only.split(",")) if only else None
     for name, (resume, yaml_path, data_yaml) in runs.items():
@@ -516,8 +530,8 @@ def stage_report():
         "on top of a frozen encoder (fix_encoder), so its gap measures",
         "pretrained-feature quality directly.",
         "",
-        "| labeled budget | arm | test WER % |",
-        "|---|---|---|",
+        "| labeled budget | arm | test WER % (per-seed) | mean |",
+        "|---|---|---|---|",
     ]
     ft_rows = (
         (f"{SUBSET_N} utts x {FT_EPOCHS} ep", "ft_scratch"),
@@ -527,18 +541,33 @@ def stage_report():
         (f"{SUBSET25_N} utts x 160 ep, frozen enc", "ft_probe_rand_25"),
         (f"{SUBSET25_N} utts x 160 ep, frozen enc", "ft_probe_ssl_25"),
     )
-    for budget, k in ft_rows:
+
+    def arm_wers(k):
+        """Seed-0 + any <arm>_seed<N> results, in seed order."""
+        wers = []
         if k in res:
-            lines.append(f"| {budget} | {k} | {res[k]['wer']:.2f} |")
+            wers.append(res[k]["wer"])
+        for rk in sorted(res):
+            if rk.startswith(f"{k}_seed"):
+                wers.append(res[rk]["wer"])
+        return wers
+
+    means = {}
+    for budget, k in ft_rows:
+        wers = arm_wers(k)
+        if wers:
+            means[k] = sum(wers) / len(wers)
+            per = ", ".join(f"{w:.2f}" for w in wers)
+            lines.append(f"| {budget} | {k} | {per} | {means[k]:.2f} |")
     pairs = [("ft_scratch", "ft_ssl_init"),
              ("ft_scratch_25", "ft_ssl_init_25"),
              ("ft_probe_rand_25", "ft_probe_ssl_25")]
     verdicts = []
     for a, b in pairs:
-        if a in res and b in res:
-            d = res[a]["wer"] - res[b]["wer"]
+        if a in means and b in means:
+            d = means[a] - means[b]
             verdicts.append(f"{b} vs {a}: "
-                            f"{'+' if d >= 0 else ''}{d:.2f} abs "
+                            f"{'+' if d >= 0 else ''}{d:.2f} abs mean "
                             f"({'SSL wins' if d > 0 else 'scratch wins'})")
     if verdicts:
         lines += ["", "Deltas (positive = SSL init better): "
