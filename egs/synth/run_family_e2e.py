@@ -327,12 +327,22 @@ def stage_ft():
                   "start_saving_epoch: 200\nvalid_freq: 10\n")
     y25_probe = ft_yaml("sub25_probe", 160,
                         probe + "start_saving_epoch: 200\nvalid_freq: 10\n")
+    # the reference's multi-group fine-tune schedule for pretrained
+    # encoders (MulNoam: encoder group briefly frozen then 0.3x LR, fresh
+    # decoder at full LR — reference cassnat_task.py:133-154 /
+    # hubert_train.yaml multi_optim); only meaningful with an SSL init
+    mn = ("noam_factor: [0.00045, 0.0015]\n"
+          "warmup_steps: [100, 100]\n"
+          "freeze_steps: [60, 0]\n")
+    y25_mn = ft_yaml("sub25_mn", 160,
+                     mn + "start_saving_epoch: 200\nvalid_freq: 10\n")
     d100, d25 = _sub_data_yaml("train_sub"), _sub_data_yaml("train_sub25")
     runs = {
         "ft_scratch": ("", y100, d100),
         "ft_ssl_init": (ssl_ckpt, y100, d100),
         "ft_scratch_25": ("", y25, d25),
         "ft_ssl_init_25": (ssl_ckpt, y25, d25),
+        "ft_ssl_init_25_mn": (ssl_ckpt, y25_mn, d25),
         "ft_probe_rand_25": ("", y25_probe, d25),
         "ft_probe_ssl_25": (ssl_ckpt, y25_probe, d25),
     }
@@ -538,6 +548,8 @@ def stage_report():
         (f"{SUBSET_N} utts x {FT_EPOCHS} ep", "ft_ssl_init"),
         (f"{SUBSET25_N} utts x 160 ep", "ft_scratch_25"),
         (f"{SUBSET25_N} utts x 160 ep", "ft_ssl_init_25"),
+        (f"{SUBSET25_N} utts x 160 ep, MulNoam enc-group",
+         "ft_ssl_init_25_mn"),
         (f"{SUBSET25_N} utts x 160 ep, frozen enc", "ft_probe_rand_25"),
         (f"{SUBSET25_N} utts x 160 ep, frozen enc", "ft_probe_ssl_25"),
     )
