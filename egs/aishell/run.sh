@@ -14,7 +14,7 @@
 . ../librispeech/path.sh
 
 stage=1
-end_stage=4
+end_stage=6
 exp=${EXP:-exp/aishell_art}
 data=./data
 train_conf=${TRAIN_CONF:-conf/char_transformer.yaml}
@@ -73,21 +73,74 @@ if [ $stage -le 3 ] && [ $end_stage -ge 3 ]; then
   done
 fi
 
-if [ $stage -le 4 ] && [ $end_stage -ge 4 ] && [ "$synth" = 1 ]; then
+nat_exp=${NAT_EXP:-exp/aishell_cassnat}
+if [ "$synth" = 1 ]; then
+  nat_conf=${NAT_CONF:-conf/cassnat_synth.yaml}
+else
+  nat_conf=${NAT_CONF:-conf/char_cassnat.yaml}
+fi
+nat_dec_best=${NAT_DECODE_CONF:-conf/cassnat_synth_decode.yaml}
+nat_dec_esa=${NAT_DECODE_ESA_CONF:-conf/cassnat_synth_decode_esa.yaml}
+
+if [ $stage -le 4 ] && [ $end_stage -ge 4 ]; then
+  # CASS-NAT trained with the AST-encoder init (model surgery; reference
+  # run_cassnat.sh stage 1 init_encoder + cassnat_task.py:62-83)
+  python -m cassnat_asr_public_tpu.bin.train_asr \
+    --exp_dir $nat_exp --train_config $nat_conf \
+    --data_config conf/data.yaml --optim_type noam --epochs $epochs \
+    --resume_model $exp/best_model.ckpt \
+    --task cassnat
+fi
+
+if [ $stage -le 5 ] && [ $end_stage -ge 5 ]; then
+  for part in dev test; do
+    for mode in bestpath esa_self50; do
+      dconf=$nat_dec_best
+      [ $mode = esa_self50 ] && dconf=$nat_dec_esa
+      python -m cassnat_asr_public_tpu.bin.decode_asr \
+        --task cassnat --test_config $dconf \
+        --data_config conf/data.yaml \
+        --resume_model $nat_exp/best_model.ckpt \
+        --data_path $data/fbank/$part/feats.scp \
+        --text_label $data/$part/token_char.scp \
+        --decode_type esa_att --batch_size 8 \
+        --result_file $nat_exp/hyp_${mode}_$part.txt
+      python $E2EASR/utils/score_wer.py --cer \
+        --ref $data/$part/text --hyp $nat_exp/hyp_${mode}_$part.txt \
+        | tee $nat_exp/cer_${mode}_$part.txt
+    done
+  done
+fi
+
+if [ $stage -le 6 ] && [ $end_stage -ge 6 ] && [ "$synth" = 1 ]; then
   # CER results table (SURVEY §6 Aishell CER format, synthetic corpus)
   {
     echo "# Aishell char recipe on the synthetic char corpus (SYNTH=1)"
     echo
-    echo "AST transformer (char units, no space token), ctc_att joint"
-    echo "decode, checkpoint averaging over the last $avg_num; produced by"
+    echo "Char units (no space token), CER scoring; produced by"
     echo "\`SYNTH=1 bash run.sh --stage 0\` ($synth_n train / $synth_eval eval utts,"
-    echo "$epochs epochs; conf=$train_conf)."
+    echo "$epochs epochs)."
+    echo
+    echo "AST conformer ($train_conf), ctc_att joint decode,"
+    echo "checkpoint averaging over the last $avg_num:"
     echo
     echo "| split | CER % |"
     echo "|---|---|"
     for part in dev test; do
       cer=$(grep -o '[WC]ER [0-9.]*' $exp/cer_$part.txt | head -1 | cut -d' ' -f2)
       echo "| $part | $cer |"
+    done
+    echo
+    echo "CASS-NAT ($nat_conf, AST-encoder init), NAT best-path and"
+    echo "ESA self-ranked (sample_num 50, thr 0.9) decodes:"
+    echo
+    echo "| split | decode | CER % |"
+    echo "|---|---|---|"
+    for part in dev test; do
+      for mode in bestpath esa_self50; do
+        cer=$(grep -o '[WC]ER [0-9.]*' $nat_exp/cer_${mode}_$part.txt | head -1 | cut -d' ' -f2)
+        echo "| $part | $mode | $cer |"
+      done
     done
   } > RESULTS_synth.md
   echo "wrote egs/aishell/RESULTS_synth.md"

@@ -50,16 +50,31 @@ def test_aishell_synth_char_recipe(tmp_path):
     _shrink(os.path.join(aishell, "conf", "char_synth_decode.yaml"),
             os.path.join(aishell, "conf", "smoke_decode.yaml"),
             {"beam_width": 4, "ctc_beam": 6})
+    nat_shrink = {"N_extra": 1, "N_self_dec": 1, "N_mix_dec": 1,
+                  "dec_kernel_size": 3}
+    _shrink(os.path.join(aishell, "conf", "cassnat_synth.yaml"),
+            os.path.join(aishell, "conf", "smoke_nat.yaml"),
+            dict(nat_shrink, epochs=3, start_saving_epoch=0,
+                 use_specaug=False, warmup_steps=10, noam_factor=0.02))
+    _shrink(os.path.join(aishell, "conf", "cassnat_synth_decode.yaml"),
+            os.path.join(aishell, "conf", "smoke_nat_dec.yaml"),
+            nat_shrink)
+    _shrink(os.path.join(aishell, "conf", "cassnat_synth_decode_esa.yaml"),
+            os.path.join(aishell, "conf", "smoke_nat_esa.yaml"),
+            dict(nat_shrink, sample_num=8))
 
     env = dict(os.environ)
     env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
                 "SYNTH": "1", "SYNTH_N": "24", "SYNTH_EVAL": "6",
                 "EPOCHS": "3", "AVG_NUM": "2",
                 "TRAIN_CONF": "conf/smoke_train.yaml",
-                "DECODE_CONF": "conf/smoke_decode.yaml"})
+                "DECODE_CONF": "conf/smoke_decode.yaml",
+                "NAT_CONF": "conf/smoke_nat.yaml",
+                "NAT_DECODE_CONF": "conf/smoke_nat_dec.yaml",
+                "NAT_DECODE_ESA_CONF": "conf/smoke_nat_esa.yaml"})
     res = subprocess.run(["bash", "run.sh", "--stage", "0"], cwd=aishell,
                          env=env, capture_output=True, text=True,
-                         timeout=1500)
+                         timeout=2700)
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
 
     # char units really dropped word boundaries (no space token in vocab)
@@ -69,8 +84,15 @@ def test_aishell_synth_char_recipe(tmp_path):
         toks = f.readline().split()[1:]
     assert all(len(t) == 1 for t in toks)
 
-    # CER files exist and parse for both eval parts
+    # CER files exist and parse for both eval parts, both model families
     for part in ("dev", "test"):
         cer_txt = open(os.path.join(
             aishell, "exp/aishell_art", f"cer_{part}.txt")).read()
         assert "CER" in cer_txt or "WER" in cer_txt, cer_txt
+        for mode in ("bestpath", "esa_self50"):
+            nat_txt = open(os.path.join(
+                aishell, "exp/aishell_cassnat",
+                f"cer_{mode}_{part}.txt")).read()
+            assert "CER" in nat_txt or "WER" in nat_txt, nat_txt
+    report = open(os.path.join(aishell, "RESULTS_synth.md")).read()
+    assert "CASS-NAT" in report and "| test |" in report
