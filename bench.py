@@ -433,6 +433,58 @@ def main():
             "esa_full50_small4_flops_per_iter": fl_f4,
         })
 
+        # ---- confidence-gated hybrid (VERDICT r4 item 2c): pass 1 =
+        # topk8 + small4 rank WITH the rank-margin output; utterances
+        # under the margin threshold re-decode at full sample_num
+        # (cross-batch re-batched at B=16 by the task driver,
+        # tasks/cassnat_task.py:_escalate_gated). Composite RTF =
+        # pass1 + rate * full50, with the escalation rate MEASURED on the
+        # trained hard-variant parity model during WER validation
+        # (egs/synth/gate_stats_hard.json); skipped when that artifact
+        # is absent.
+        gate_stats_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "egs", "synth",
+            "gate_stats_hard.json")
+        if os.path.exists(gate_stats_path):
+            with open(gate_stats_path) as gf:
+                gate_stats = json.load(gf)
+            rate = float(gate_stats["escalation_rate"])
+
+            def make_gate_loop():
+                @jax.jit
+                def loop_gate(params, lm_p, base, key):
+                    def body(i, acc):
+                        f = base + jax.random.normal(
+                            jax.random.fold_in(key, i), base.shape) * 1e-6
+                        out = nat_decode_jit(
+                            model, params, f, mask_esa,
+                            jax.random.fold_in(key, 1000 + i), umax=umax,
+                            sample_num=sample_num, threshold=0.9,
+                            rank_model="lm", lm_apply=lm4_apply,
+                            lm_params=lm_p, lm_apply_logits=True,
+                            esa_topk=8, return_margin=True)
+                        return (acc + out["tokens"].sum()
+                                + out["lengths"].sum()
+                                + jnp.isfinite(out["esa_margin"]).sum())
+                    return jax.lax.fori_loop(0, esa_inner, body,
+                                             jnp.zeros((), jnp.int32))
+                return loop_gate
+
+            note("compiling gated pass-1 loop (topk8 + margin)")
+            rtf_p1 = time_loop(make_gate_loop(), cal["measured"],
+                               base_esa, lm="small4")
+            rtf_gate = rtf_p1 + rate * rtf_f4
+            note(f"gate pass1 rtf={rtf_p1:.2e} + rate {rate} * full50 "
+                 f"{rtf_f4:.2e} -> composite {rtf_gate:.2e}")
+            result.update({
+                "esa_gate_pass1_rtf": round(rtf_p1, 6),
+                "esa_gate_rate": rate,
+                "esa_gate_margin_thr": gate_stats.get("margin_thr"),
+                "esa_gate_measured_rtf": round(rtf_gate, 6),
+                "esa_gate_measured_vs_baseline":
+                    round(BASELINE_RTF / rtf_gate, 2),
+            })
+
         # ---- two-phase ESA (the production driver path,
         # cassnat_task._nat_decode_two_phase): encoder+alignments, host
         # picks THIS batch's umax + unique-candidate buckets, NAT+rank on
