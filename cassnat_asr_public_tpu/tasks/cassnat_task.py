@@ -326,6 +326,15 @@ class CassNATTask(BaseTask):
                         gated.append((utt, f_np[i], m_np[i]))
         if gated:
             results.update(self._escalate_gated(args, gated, rng))
+        if gate_thr > 0:
+            # surfaced for harnesses (WER validation records the measured
+            # escalation rate that bench.py's gated-composite RTF uses)
+            self.gate_stats = {
+                "margin_thr": gate_thr,
+                "n_escalated": len(gated),
+                "n_utts": len(results),
+                "escalation_rate": len(gated) / max(1, len(results)),
+            }
         elapsed = time.time() - t0
         if hit_stats is not None:
             from cassnat_asr_public_tpu.utils.diagnostics import \

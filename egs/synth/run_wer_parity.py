@@ -301,6 +301,18 @@ DECODE_MODES = {
     "esa_at_topk8": dict(decode_type="esa_att", sample_num=50,
                          threshold=0.9, rank_model="at_baseline",
                          esa_topk=8),
+    # ---- confidence-gated hybrid (VERDICT r4 item 2c): topk8 pass-1
+    # requesting the rank margin, task-level full-50 escalation of
+    # low-margin utterances (tasks/cassnat_task.py:_escalate_gated).
+    # The margin threshold default comes from dump_gate_margins.py's
+    # escalation-rate/disagreement-capture sweep on the hard variant;
+    # CASSNAT_GATE_MARGIN overrides. stage_decode records the measured
+    # escalation rate to gate_stats{S}.json for bench.py's composite RTF.
+    "esa_small4_gated": dict(
+        decode_type="esa_att", sample_num=50, threshold=0.9,
+        rank_model="lm", rank_lm="small4", esa_topk=8,
+        esa_gate_margin=float(
+            os.environ.get("CASSNAT_GATE_MARGIN", "0.05"))),
 }
 
 
@@ -311,6 +323,7 @@ def _identity_pairs():
         m = re.match(r"(esa_[a-z0-9]+)_top[km]", mode)
         if m:
             pairs.append((mode, f"{m.group(1)}_50"))
+    pairs.append(("esa_small4_gated", "esa_small4_50"))
     return pairs
 
 
@@ -346,6 +359,10 @@ def stage_decode():
         task, cfg = _load_task(over)
         t0 = time.time()
         hyps_raw, elapsed = task.decode(cfg)
+        if getattr(task, "gate_stats", None):
+            with open(os.path.join(HERE, f"gate_stats{S}.json"), "w") as f:
+                json.dump(task.gate_stats, f, indent=1)
+            print(f"[{mode}] gate stats: {task.gate_stats}", flush=True)
         hyps = {u: pieces_to_words(p) for u, p in hyps_raw.items()}
         with open(f"{hyp_dir}/{mode}.json", "w") as f:
             json.dump({u: " ".join(w) for u, w in sorted(hyps.items())}, f,
@@ -536,6 +553,34 @@ def stage_report():
         for mode, rep in ar_ref.items():
             lines.append(f"| **{mode}** (torch) | {rep['wer']:.2f} | "
                          "same weights, same audio |")
+    # ESA sampling-seed spread (run_seed_spread.py), when measured on
+    # this variant: settles whether repo-vs-torch full-50 deltas are
+    # sampling noise or systematic.
+    spread_fp = os.path.join(HERE, f"seed_spread{S}.json")
+    if os.path.exists(spread_fp):
+        import numpy as _np
+        with open(spread_fp) as f:
+            spread = json.load(f)
+        groups = {}
+        for k, rep in spread.items():
+            base = k.rsplit("_seed", 1)[0]
+            groups.setdefault(base, []).append(rep["wer"])
+        lines += [
+            "",
+            "## ESA sampling-seed spread (run_seed_spread.py)",
+            "",
+            "Same weights + features decoded under independent sampling",
+            "seeds per side (torch_* = reference decoder, repo_* = this",
+            "framework's nat_decode_jit).",
+            "",
+            "| arm | seeds | mean WER % | sd | min..max |",
+            "|---|---|---|---|---|",
+        ]
+        for base, wers in sorted(groups.items()):
+            a = _np.asarray(sorted(wers))
+            lines.append(
+                f"| {base} | {len(a)} | {a.mean():.3f} | {a.std():.3f} "
+                f"| {a.min():.3f}..{a.max():.3f} |")
     lines += [
         "",
         "`esa_lm_50_dedup` is asserted equal to `esa_lm_50` (exact dedup),",
