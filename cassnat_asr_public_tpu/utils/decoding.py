@@ -344,8 +344,19 @@ def nat_decode_jit(model, params, feats, src_mask, rng, umax: int,
                 # logit - logsumexp (skips the vocab-wide log-softmax)
                 tok_scores = tok_scores.astype(jnp.float32) - \
                     jax.nn.logsumexp(lm_out.astype(jnp.float32), axis=-1)
-            tok_scores = jnp.where(slot_valid, tok_scores, 0.0)
-            denom = jnp.maximum(slot_valid.sum(-1), 1)
+            # Rank over slots < ylen: the real tokens PLUS the EOS slot.
+            # The reference's tgt_mask1 keeps position ylen-1 (the EOS
+            # slot: scatter(ylen-1, 0).cumprod.scatter(ylen-1, 1),
+            # cassnat.py:478-480) and its rank mean divides by the nonzero
+            # count (cassnat.py:518-519), so the LM's log P(eos | tokens)
+            # is part of every candidate's score. Excluding it let
+            # tail-truncated candidates ("...e" vs "...ee") escape the
+            # end-of-sentence penalty — the systematic +0.12 WER gap on
+            # the hard variant (all 5 repo-vs-torch disagreements were
+            # utterance-final token drops; esa_gap_diag_hard.json).
+            rank_valid = jnp.arange(umax)[None, :] < ylen[:, None]
+            tok_scores = jnp.where(rank_valid, tok_scores, 0.0)
+            denom = jnp.maximum(rank_valid.sum(-1), 1)
             cand_score = tok_scores.sum(-1) / denom  # (N,)
         else:
             # rank by the NAT model's own confidence (logits path computes
