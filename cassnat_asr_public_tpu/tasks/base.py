@@ -201,7 +201,13 @@ class BaseTask:
         tokens = jnp.ones((1, 4), jnp.int32)
         self.lm_params = self.lm_model.init(jax.random.PRNGKey(0), tokens)
         lm_path = getattr(args, "rnnlm", None)
-        if lm_path and os.path.exists(lm_path):
+        if lm_path:
+            if not os.path.exists(lm_path):
+                # configured-but-missing fusion LM: fail loudly rather
+                # than shallow-fusing a random-init LM (reference
+                # torch.load raises on a bad path)
+                raise FileNotFoundError(
+                    f"fusion LM checkpoint not found: {lm_path}")
             state = ckpt.load_checkpoint(lm_path)
             self.lm_params = ckpt.restore_params(self.lm_params,
                                                  state["params"])

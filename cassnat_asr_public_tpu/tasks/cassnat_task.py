@@ -180,7 +180,13 @@ class CassNATTask(BaseTask):
             self.lm_params = self.lm_model.init(
                 jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
             lm_path = getattr(args, "rnnlm", None)
-            if lm_path and os.path.exists(lm_path):
+            if lm_path:
+                if not os.path.exists(lm_path):
+                    # a configured-but-missing ranker must fail loudly: a
+                    # silently random-initialized rank LM decodes without
+                    # error at garbage WER (reference torch.load raises)
+                    raise FileNotFoundError(
+                        f"rank LM checkpoint not found: {lm_path}")
                 state = ckpt.load_checkpoint(lm_path)
                 self.lm_params = ckpt.restore_params(self.lm_params,
                                                      state["params"])
@@ -207,7 +213,11 @@ class CassNATTask(BaseTask):
                 {"params": jax.random.PRNGKey(0)}, f0, m0, t0, t0,
                 jnp.ones((1,), jnp.int32))
             at_path = getattr(args, "rank_model_path", None)
-            if at_path and os.path.exists(at_path):
+            if at_path:
+                if not os.path.exists(at_path):
+                    raise FileNotFoundError(
+                        f"at_baseline ranker checkpoint not found: "
+                        f"{at_path}")
                 state = ckpt.load_checkpoint(at_path)
                 self.lm_params = ckpt.restore_params(self.lm_params,
                                                      state["params"])
