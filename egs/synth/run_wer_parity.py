@@ -527,6 +527,16 @@ def stage_report():
     for mode, rep in ref_res.items():
         lines.append(f"| **{mode}** (torch) | {rep['wer']:.2f} | "
                      "same weights, same audio |")
+    if VARIANT == "hard":
+        lines += [
+            "",
+            "Measurement vintage: the `esa_at_*` rows and the secondary "
+            "`esa_lm_topk16/topk4/topm*` ladder rows predate the EOS-slot "
+            "rank fix (commit 0d26bc4) — their AST-ranker checkpoint was "
+            "cleaned from disk and a 40-epoch retrain was not repeated; "
+            "every other ESA row (and the torch comparators) was "
+            "re-measured after the fix with freshly retrained rank LMs.",
+        ]
     # AR (AST) arm, produced by run_ar_parity.py on its own trained
     # AST-Conformer — merged here so WER_PARITY.md stays single-source
     try:
